@@ -1,0 +1,139 @@
+"""Bin-packing small-file compaction (north_rule operator #1).
+
+Shape of the job, scale-first:
+
+1. PLAN (driver, metadata only): filter the manifest to
+   smaller-than-threshold files, FFD-bin-pack per partition
+   (plans/binpack.py). No data rows are read for planning.
+2. EXECUTE (cluster, one Spark job per partition unit): read exactly
+   the binned files, ``repartitionByRange(n_bins, doc_id)`` +
+   ``sortWithinPartitions`` so output files hold tight, disjoint
+   doc_id ranges (maximum min/max pruning power), write to a
+   DETERMINISTICALLY-NAMED directory with mode=overwrite (idempotent
+   rerun), stamp per-file footer stats (stats.py — footer reads only).
+   Compaction within a partition needs NO shuffle beyond the one range
+   repartition; nothing crosses partitions.
+3. CHECKPOINT: a lineage record per completed partition carries the
+   unit's new manifest rows + metrics; a resumed job skips completed
+   units entirely (lineage.py).
+4. COMMIT (atomic): new manifest = old manifest − compacted files +
+   new files; CAS snapshot swap. Readers pinned to the old snapshot
+   still resolve the old files (they are not deleted until
+   snapshot expiry — expire.py).
+
+Reference precedent: Delta ``optimizeWrite``/``autoCompact`` knobs the
+reference enables but delegates (SparkSessionManager.scala:73-74); here
+the mechanism is explicit and from scratch.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.binpack import pack_bins
+from .lineage import LineageLog
+from .metadata import MANIFEST_SCHEMA, TOKEN_SCHEMA, TokenTable, list_parquet_files
+from .stats import file_stats_df
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def compact(
+    spark: SparkSession,
+    table: TokenTable,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    small_file_threshold: int | None = None,
+    job_id: str | None = None,
+    _fail_after_units: int | None = None,
+) -> dict:
+    """Compact small files; returns a summary dict (snapshot_id=None if no-op).
+
+    ``_fail_after_units`` is a test hook that injects a crash after N
+    completed units to exercise checkpoint resume.
+    """
+    parent = table.current_snapshot_id()
+    threshold = small_file_threshold or int(target_file_bytes * 0.75)
+    manifest = table.manifest_df(spark)
+
+    # PLAN — metadata only. Candidate metadata is collected for driver
+    # planning (same driver-side planning Iceberg's rewriteDataFiles does);
+    # the full manifest is never collected.
+    candidates = (
+        manifest.filter(F.col("file_bytes") < threshold)
+        .select("partition", "file_path", "file_bytes", "record_count")
+        .collect()
+    )
+    by_part: dict[str, list] = defaultdict(list)
+    for r in candidates:
+        by_part[r.partition].append((r.file_path, r.file_bytes, r.record_count))
+
+    units = []  # (partition, bins)
+    for part in sorted(by_part):
+        bins = pack_bins(by_part[part], part, target_file_bytes)
+        if len(by_part[part]) > len(bins):  # merging actually reduces file count
+            units.append((part, bins))
+    if not units:
+        return {"snapshot_id": None, "units": 0, "files_in": 0, "files_out": 0, "rows": 0}
+
+    log = LineageLog(table.root, job_id or f"compact-snap{parent}")
+    done = log.completed_units()
+    resumed = 0
+    completed = 0
+
+    # EXECUTE per partition unit (resumable granularity).
+    for part, bins in units:
+        if part in done:
+            resumed += 1
+            continue
+        files = [f for b in bins for f in b.files]
+        rows = sum(b.rows for b in bins)
+        n_out = len(bins)
+        out_dir = table.new_data_dir(f"compact-snap{parent}") / part
+        df = spark.read.schema(TOKEN_SCHEMA).parquet(*files)
+        (
+            df.repartitionByRange(n_out, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max(1, (rows + n_out - 1) // n_out + 1))
+            .parquet(str(out_dir))
+        )
+        new_files = list_parquet_files(out_dir)
+        stats = [r.asDict() for r in file_stats_df(spark, [(f, part) for f in new_files]).collect()]
+        log.mark_unit_done(
+            part,
+            files_in=files,
+            new_manifest_rows=stats,
+            metrics={
+                "files_rewritten": len(files),
+                "files_written": len(new_files),
+                "bytes_compacted": sum(b.bytes for b in bins),
+                "rows": rows,
+            },
+        )
+        completed += 1
+        if _fail_after_units is not None and completed >= _fail_after_units:
+            raise RuntimeError(f"injected failure after {completed} units (test hook)")
+
+    # COMMIT — assemble manifest from lineage (covers resumed units too).
+    done = log.completed_units()
+    removed_files = [f for rec in done.values() for f in rec["files_in"]]
+    new_rows = [row for rec in done.values() for row in rec["new_manifest_rows"]]
+    removed_df = spark.createDataFrame([(f,) for f in removed_files], "file_path string")
+    new_manifest = (
+        manifest.join(F.broadcast(removed_df), "file_path", "left_anti")
+        .unionByName(spark.createDataFrame(new_rows, MANIFEST_SCHEMA))
+    )
+    summary = {
+        "files_compacted": len(removed_files),
+        "files_written": len(new_rows),
+        "rows_rewritten": sum(rec["metrics"]["rows"] for rec in done.values()),
+        "bytes_compacted": sum(rec["metrics"]["bytes_compacted"] for rec in done.values()),
+        "units": len(units),
+        "units_resumed": resumed,
+    }
+    sid = table.commit(new_manifest, operation="compact", summary=summary, parent_id=parent)
+    log.log_event("committed", snapshot_id=sid, **summary)
+    return {"snapshot_id": sid, **summary}

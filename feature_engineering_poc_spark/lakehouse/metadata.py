@@ -1,0 +1,247 @@
+"""Table metadata layer: snapshots, manifests, atomic commits.
+
+Layout of a table rooted at ``root``::
+
+    root/
+      data/<commit-tag>/<partition>/*.parquet   # immutable data files
+      metadata/
+        snap-<id>.json          # immutable snapshot descriptor
+        manifest-<id>/*.parquet # per-file stats for that snapshot
+        VERSION                 # current snapshot id (atomic rename swap)
+        lineage/<job>.jsonl     # per-partition progress log (lineage.py)
+
+Snapshot isolation: a reader pinned to snapshot S resolves S's manifest
+and therefore S's exact file set; maintenance jobs write NEW files and
+NEW manifests and only then swap VERSION, so concurrent readers of
+older snapshots are unaffected until those snapshots are expired
+(expire.py). Commit uses an O_EXCL lock file plus a
+compare-and-swap on the parent snapshot id, then an atomic
+``os.rename`` of the VERSION pointer — single-writer semantics with
+conflict detection, the same contract Iceberg gets from its catalog CAS.
+
+Semantics precedent in the reference: Delta snapshot/retention knobs at
+spark/SparkSessionManager.scala:59-74 (retentionDurationCheck,
+optimizeWrite/autoCompact, dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# The target table schema (BASELINE.json input_hint).
+TOKEN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+# Per-data-file manifest entry. zkey stats are null until a clustering
+# rewrite stamps them (clustering.py).
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("partition", T.StringType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("file_bytes", T.LongType()),
+        T.StructField("min_doc_id", T.StringType()),
+        T.StructField("max_doc_id", T.StringType()),
+        T.StructField("min_n_tok", T.IntegerType()),
+        T.StructField("max_n_tok", T.IntegerType()),
+        T.StructField("min_zkey", T.LongType()),
+        T.StructField("max_zkey", T.LongType()),
+    ]
+)
+
+
+class SnapshotConflict(RuntimeError):
+    """Raised when a commit loses the CAS race on the VERSION pointer."""
+
+
+class TokenTable:
+    """Handle to one lakehouse table on a filesystem path."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.data_dir = self.root / "data"
+        self.meta_dir = self.root / "metadata"
+
+    # ---------------------------------------------------------- layout
+    @property
+    def version_file(self) -> Path:
+        return self.meta_dir / "VERSION"
+
+    def snapshot_path(self, snapshot_id: int) -> Path:
+        return self.meta_dir / f"snap-{snapshot_id}.json"
+
+    def manifest_dir(self, snapshot_id: int) -> Path:
+        return self.meta_dir / f"manifest-{snapshot_id}"
+
+    def new_data_dir(self, tag: str | None = None) -> Path:
+        """A unique directory for one commit's new data files.
+
+        A deterministic ``tag`` (e.g. ``compact-snap3``) makes resumed
+        jobs idempotent: the rerun overwrites the same location.
+        """
+        d = self.data_dir / (tag or uuid.uuid4().hex[:12])
+        return d
+
+    # ------------------------------------------------------- lifecycle
+    @classmethod
+    def create(cls, root: str | Path) -> "TokenTable":
+        """Initialise an empty table (snapshot 0, empty manifest)."""
+        t = cls(root)
+        t.meta_dir.mkdir(parents=True, exist_ok=True)
+        t.data_dir.mkdir(parents=True, exist_ok=True)
+        snap = {
+            "snapshot_id": 0,
+            "parent_id": None,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "create",
+            "manifest": None,
+            "summary": {},
+        }
+        t.snapshot_path(0).write_text(json.dumps(snap, indent=1))
+        _atomic_write(t.version_file, "0")
+        return t
+
+    def exists(self) -> bool:
+        return self.version_file.exists()
+
+    # --------------------------------------------------------- reading
+    def current_snapshot_id(self) -> int:
+        return int(self.version_file.read_text().strip())
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        return json.loads(self.snapshot_path(sid).read_text())
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for p in sorted(self.meta_dir.glob("snap-*.json")):
+            out.append(json.loads(p.read_text()))
+        return sorted(out, key=lambda s: s["snapshot_id"])
+
+    def manifest_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """The manifest of a snapshot as a DataFrame (metadata-level plan input)."""
+        snap = self.snapshot(snapshot_id)
+        if snap["manifest"] is None:
+            return spark.createDataFrame([], MANIFEST_SCHEMA)
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(str(self.root / snap["manifest"]))
+
+    def data_files(self, spark: SparkSession, snapshot_id: int | None = None) -> list[str]:
+        """File list of a snapshot. Driver-side planning, like Iceberg's."""
+        return [r.file_path for r in self.manifest_df(spark, snapshot_id).select("file_path").collect()]
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        files: list[str] | None = None,
+    ) -> DataFrame:
+        """Snapshot-pinned table scan.
+
+        File-level min/max pruning happens BEFORE Catalyst sees the
+        scan: callers filter ``manifest_df`` and pass the surviving
+        ``files`` (see plans in compaction/merge/clustering). Catalyst
+        still gets row-group pruning + column pruning on the parquet
+        scan itself.
+        """
+        if files is None:
+            files = self.data_files(spark, snapshot_id)
+        if not files:
+            return spark.createDataFrame([], TOKEN_SCHEMA)
+        # Explicit schema: skips schema inference listing AND tolerates
+        # extra physical columns (e.g. a persisted zkey) in some files.
+        return spark.read.schema(TOKEN_SCHEMA).parquet(*files)
+
+    # ------------------------------------------------------ committing
+    def write_manifest(self, manifest_df: DataFrame, snapshot_id: int) -> str:
+        """Persist a manifest DataFrame for a snapshot-to-be.
+
+        Written BY SPARK (distributed, multi-file) — the manifest of a
+        10^12-sequence table is itself big data; nothing is collected
+        to the driver here.
+        """
+        rel = f"metadata/manifest-{snapshot_id}"
+        (
+            manifest_df.select([f.name for f in MANIFEST_SCHEMA.fields])
+            .write.mode("overwrite")
+            .parquet(str(self.root / rel))
+        )
+        return rel
+
+    def commit(
+        self,
+        manifest_df: DataFrame,
+        operation: str,
+        summary: dict | None = None,
+        parent_id: int | None = None,
+    ) -> int:
+        """Atomically publish a new snapshot whose file set is ``manifest_df``.
+
+        CAS on ``parent_id``: if another writer advanced VERSION since
+        the caller planned against ``parent_id``, raise
+        SnapshotConflict (caller replans, like Iceberg optimistic
+        concurrency).
+        """
+        expected_parent = self.current_snapshot_id() if parent_id is None else parent_id
+        new_id = expected_parent + 1
+        # Write the heavyweight pieces before taking the lock.
+        manifest_rel = self.write_manifest(manifest_df, new_id)
+        snap = {
+            "snapshot_id": new_id,
+            "parent_id": expected_parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "manifest": manifest_rel,
+            "summary": summary or {},
+        }
+        lock = self.meta_dir / "COMMIT.lock"
+        fd = None
+        try:
+            deadline = time.time() + 60
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.time() > deadline:
+                        raise SnapshotConflict(f"commit lock held too long: {lock}")
+                    time.sleep(0.05)
+            if self.current_snapshot_id() != expected_parent:
+                raise SnapshotConflict(
+                    f"expected parent {expected_parent}, VERSION moved to "
+                    f"{self.current_snapshot_id()}"
+                )
+            self.snapshot_path(new_id).write_text(json.dumps(snap, indent=1))
+            _atomic_write(self.version_file, str(new_id))
+        finally:
+            if fd is not None:
+                os.close(fd)
+                os.unlink(lock)
+        return new_id
+
+
+def _atomic_write(path: Path, content: str) -> None:
+    tmp = path.with_name(path.name + f".tmp-{uuid.uuid4().hex[:8]}")
+    tmp.write_text(content)
+    os.rename(tmp, path)  # atomic on POSIX
+
+
+def list_parquet_files(directory: str | Path) -> list[str]:
+    """Recursively list parquet data files under a directory."""
+    return sorted(
+        str(p)
+        for p in Path(directory).rglob("*.parquet")
+        if not p.name.startswith("_") and not p.name.startswith(".")
+    )

@@ -1,0 +1,109 @@
+"""End-to-end: generator → metadata layer → compaction → scan equivalence,
+snapshot isolation, and checkpoint resume (SURVEY.md §7 steps 1-3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from feature_engineering_poc_spark.lakehouse import (
+    TokenTable,
+    assert_scan_equivalent,
+    scan_fingerprint,
+    write_token_table,
+)
+from feature_engineering_poc_spark.lakehouse.compaction import compact
+from feature_engineering_poc_spark.lakehouse.lineage import LineageLog
+from feature_engineering_poc_spark.lakehouse.metadata import SnapshotConflict
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("tokentable")
+    return write_token_table(spark, root, n_rows=4000, files_per_source=8, max_tok=128)
+
+
+def test_generator_creates_small_files_and_manifest(spark, table):
+    m = table.manifest_df(spark)
+    rows = m.collect()
+    assert len(rows) >= 16  # many small files across 4 sources
+    parts = {r.partition for r in rows}
+    assert parts == {"web", "books", "wiki", "code"}
+    total = sum(r.record_count for r in rows)
+    assert total == 4000
+    for r in rows:
+        assert r.min_doc_id <= r.max_doc_id
+        assert r.min_n_tok <= r.max_n_tok
+        assert r.file_bytes > 0
+
+
+def test_scan_matches_rowcount(spark, table):
+    df = table.scan(spark)
+    assert df.count() == 4000
+    assert [f.name for f in df.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_compaction_scan_equivalence_and_isolation(spark, table):
+    pre_sid = table.current_snapshot_id()
+    pre_files = set(table.data_files(spark, pre_sid))
+    before = scan_fingerprint(table.scan(spark, pre_sid))
+
+    result = compact(spark, table, target_file_bytes=64 * 1024 * 1024)
+    assert result["snapshot_id"] == pre_sid + 1
+    assert result["files_written"] < result["files_compacted"]
+
+    # post-maintenance scan equivalence (token-array equality per row)
+    assert_scan_equivalent(table.scan(spark, pre_sid), table.scan(spark))
+
+    # snapshot isolation: pinned reader resolves the ORIGINAL files
+    assert set(table.data_files(spark, pre_sid)) == pre_files
+    pinned = scan_fingerprint(table.scan(spark, pre_sid))
+    assert (pinned.row_count, pinned.xor_hash) == (before.row_count, before.xor_hash)
+
+    # compacted files replaced in the new manifest
+    post_files = set(table.data_files(spark))
+    assert post_files.isdisjoint({f for f in pre_files if f not in post_files} & post_files)
+    assert len(post_files) < len(pre_files)
+
+
+def test_compaction_noop_when_already_compact(spark, table):
+    result = compact(spark, table, target_file_bytes=64 * 1024 * 1024)
+    assert result["snapshot_id"] is None
+
+
+def test_compaction_resume_from_checkpoint(spark, tmp_path):
+    t = write_token_table(spark, tmp_path / "t", n_rows=2000, files_per_source=6, max_tok=64)
+    before = scan_fingerprint(t.scan(spark))
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        compact(spark, t, target_file_bytes=64 * 1024 * 1024, job_id="resume-test",
+                _fail_after_units=1)
+    # crash happened before commit: table still at snapshot 1
+    assert t.current_snapshot_id() == 1
+    log = LineageLog(t.root, "resume-test")
+    assert len(log.completed_units()) == 1
+
+    result = compact(spark, t, target_file_bytes=64 * 1024 * 1024, job_id="resume-test")
+    assert result["units_resumed"] == 1  # completed unit NOT re-executed
+    assert result["snapshot_id"] == 2
+    assert_scan_equivalent(t.scan(spark, 1), t.scan(spark))
+    # no double-applied partition: row count preserved exactly
+    assert t.scan(spark).count() == before.row_count
+
+
+def test_commit_cas_conflict(spark, tmp_path):
+    t = write_token_table(spark, tmp_path / "t2", n_rows=200, files_per_source=2, max_tok=32)
+    m = t.manifest_df(spark)
+    stale_parent = t.current_snapshot_id()
+    t.commit(m, operation="touch", parent_id=stale_parent)
+    with pytest.raises(SnapshotConflict):
+        t.commit(m, operation="touch", parent_id=stale_parent)
+
+
+def test_determinism_same_seed_same_fingerprint(spark, tmp_path):
+    from feature_engineering_poc_spark.lakehouse.generator import token_dataframe
+
+    a = scan_fingerprint(token_dataframe(spark, 500, seed=7, max_tok=64))
+    b = scan_fingerprint(token_dataframe(spark, 500, seed=7, max_tok=64))
+    c = scan_fingerprint(token_dataframe(spark, 500, seed=8, max_tok=64))
+    assert (a.row_count, a.xor_hash) == (b.row_count, b.xor_hash)
+    assert a.xor_hash != c.xor_hash
