@@ -1,0 +1,78 @@
+"""Source reader — parity with sources/DatabricksSparkSource.scala:25-102.
+
+Decision cascade (S1-S4): config.query → spark.sql | config.table →
+spark.table (qualified from catalog/schema parts when needed) |
+location → format reader | else config error. Then schema PRESENCE
+validation, case-insensitive (S5, scala :66-82); type checking was
+left TODO in the reference (:90-96) — implemented here behind
+``check_types=True``.
+
+Format default: the reference defaults unknown/absent types to delta
+(:57-58); offline we default to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config.models import SourceDefinition
+
+_PATH_FORMATS = {"parquet", "csv", "json", "delta", "orc"}
+
+
+class SchemaValidationError(ValueError):
+    pass
+
+
+def read_source(
+    spark: SparkSession, source: SourceDefinition, check_types: bool = False
+) -> DataFrame:
+    cfg = source.config
+    if cfg.query:
+        df = spark.sql(cfg.query)
+    elif cfg.table:
+        table = cfg.table
+        if "." not in table and cfg.schema:
+            parts = [p for p in (cfg.catalog, cfg.schema, table) if p]
+            table = ".".join(parts)
+        df = spark.table(table)
+    elif source.location:
+        fmt = (source.type or "").lower()
+        if fmt not in _PATH_FORMATS:
+            fmt = "delta" if source.location.endswith(".delta") else "parquet"
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        df = reader.load(source.location)
+    else:
+        raise ValueError(
+            f"source '{source.name}' has no query, table, or location configured"
+        )
+    _validate_schema(df, source, check_types)
+    return df
+
+
+def _validate_schema(df: DataFrame, source: SourceDefinition, check_types: bool) -> None:
+    if not source.fields:
+        return
+    have = {c.lower() for c in df.columns}
+    declared = {f["name"].lower(): (f.get("type") or "").lower() for f in source.fields}
+    missing = sorted(set(declared) - have)
+    if missing:
+        raise SchemaValidationError(
+            f"source '{source.name}' missing required fields: {', '.join(missing)}"
+        )
+    if check_types:
+        actual = {f.name.lower(): f.dataType.simpleString() for f in df.schema.fields}
+        synonyms = {"integer": "int", "long": "bigint", "string": "string"}
+        mismatched = []
+        for name, want in declared.items():
+            if not want:
+                continue
+            want_norm = synonyms.get(want, want)
+            if actual.get(name) not in (want, want_norm):
+                mismatched.append(f"{name} (declared {want}, actual {actual.get(name)})")
+        if mismatched:
+            raise SchemaValidationError(
+                f"source '{source.name}' type mismatches: {', '.join(mismatched)}"
+            )
