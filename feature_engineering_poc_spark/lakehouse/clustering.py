@@ -1,0 +1,209 @@
+"""Z-order / Hilbert clustering rewrite (north_rule ops #2-3).
+
+Reorders each partition's rows along a space-filling curve over the
+cluster columns so that file-level min/max stats become selective for
+MULTI-column predicates — the pruning mechanism is manifest min/max
+(metadata.py scan planning), the clustering rewrite is what makes
+those ranges tight.
+
+Scale shape:
+- Curve keys are computed by an Arrow-batched pandas UDF over numpy
+  (plans/sfc.py) — zero per-row Python.
+- Column bounds for grid normalization come from the MANIFEST
+  (min-of-mins / max-of-maxs per partition) — no data pass.
+- One range shuffle per partition unit (``repartitionByRange(zkey)``)
+  + in-partition sort; that is the minimum data movement any
+  clustering rewrite can do.
+- The zkey is PERSISTED as an extra column in the rewritten files, so
+  parquet footers (and thus the manifest, via stats.py) carry zkey
+  min/max for curve-range pruning; table scans use the fixed 4-column
+  schema and never see it.
+- Per-partition resumable units with lineage checkpoints, atomic
+  snapshot commit — same protocol as compaction.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.sfc import (
+    hilbert_index,
+    interleave_bits,
+    normalize_to_grid,
+    string_prefix_ordinal,
+)
+from .lineage import LineageLog
+from .metadata import MANIFEST_SCHEMA, TOKEN_SCHEMA, TokenTable, list_parquet_files
+from .stats import file_stats_df
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+@dataclass
+class _ColSpec:
+    name: str
+    kind: str  # "numeric" | "string"
+    lo: float
+    hi: float
+
+
+def _make_key_udf(specs: list[_ColSpec], curve: str, bits: int):
+    """Factory: pandas UDF computing the SFC key for these column specs."""
+
+    def _kernel(*cols: pd.Series) -> pd.Series:
+        grids = []
+        for series, spec in zip(cols, specs):
+            if spec.kind == "string":
+                ordv = string_prefix_ordinal(series).astype(np.float64)
+                grids.append(normalize_to_grid(ordv, spec.lo, spec.hi, bits))
+            else:
+                vals = series.to_numpy(dtype=np.float64, na_value=spec.lo)
+                grids.append(normalize_to_grid(vals, spec.lo, spec.hi, bits))
+        key = hilbert_index(grids, bits) if curve == "hilbert" else interleave_bits(grids, bits)
+        return pd.Series(key.astype(np.int64))
+
+    return F.pandas_udf(_kernel, "long")
+
+
+def _partition_bounds(
+    spark: SparkSession, manifest_part: DataFrame, columns: list[str], files: list[str]
+) -> list[_ColSpec]:
+    """Grid bounds per cluster column — manifest-only for the stats
+    columns (doc_id, n_tok); one column-pruned data agg otherwise."""
+    specs: list[_ColSpec] = []
+    covered = {"doc_id", "n_tok"}
+    agg_row = None
+    extra = [c for c in columns if c not in covered]
+    if extra:
+        df = spark.read.schema(TOKEN_SCHEMA).parquet(*files)
+        aggs = []
+        for c in extra:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        agg_row = df.agg(*aggs).collect()[0]
+    mrow = manifest_part.agg(
+        F.min("min_doc_id").alias("lo_doc"),
+        F.max("max_doc_id").alias("hi_doc"),
+        F.min("min_n_tok").alias("lo_nt"),
+        F.max("max_n_tok").alias("hi_nt"),
+    ).collect()[0]
+    for c in columns:
+        if c == "doc_id":
+            lo, hi = string_prefix_ordinal([mrow.lo_doc or "", mrow.hi_doc or ""])
+            specs.append(_ColSpec(c, "string", float(lo), float(hi)))
+        elif c == "n_tok":
+            specs.append(_ColSpec(c, "numeric", float(mrow.lo_nt or 0), float(mrow.hi_nt or 1)))
+        else:
+            lo, hi = agg_row[f"lo_{c}"], agg_row[f"hi_{c}"]
+            if isinstance(lo, str):
+                lo, hi = string_prefix_ordinal([lo or "", hi or ""])
+                specs.append(_ColSpec(c, "string", float(lo), float(hi)))
+            else:
+                specs.append(_ColSpec(c, "numeric", float(lo or 0), float(hi or 1)))
+    return specs
+
+
+def cluster(
+    spark: SparkSession,
+    table: TokenTable,
+    columns: tuple[str, ...] = ("n_tok", "doc_id"),
+    curve: str = "zorder",
+    bits: int = 16,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    job_id: str | None = None,
+    _fail_after_units: int | None = None,
+) -> dict:
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"unknown curve: {curve}")
+    parent = table.current_snapshot_id()
+    manifest = table.manifest_df(spark)
+    entries = manifest.select("partition", "file_path", "file_bytes", "record_count").collect()
+    by_part: dict[str, list] = defaultdict(list)
+    for r in entries:
+        by_part[r.partition].append(r)
+    if not entries:
+        return {"snapshot_id": None, "units": 0}
+
+    log = LineageLog(table.root, job_id or f"{curve}-snap{parent}")
+    done = log.completed_units()
+    completed = 0
+
+    for part in sorted(by_part):
+        if part in done:
+            continue
+        rows_p = by_part[part]
+        files = [r.file_path for r in rows_p]
+        total_bytes = sum(r.file_bytes for r in rows_p)
+        total_rows = sum(r.record_count for r in rows_p)
+        n_out = max(1, round(total_bytes / target_file_bytes))
+        specs = _partition_bounds(
+            spark, manifest.filter(F.col("partition") == part), list(columns), files
+        )
+        key_udf = _make_key_udf(specs, curve, bits)
+        df = spark.read.schema(TOKEN_SCHEMA).parquet(*files)
+        keyed = df.withColumn("zkey", key_udf(*[F.col(s.name) for s in specs]))
+        out_dir = table.new_data_dir(f"{curve}-snap{parent}") / part
+        (
+            keyed.repartitionByRange(n_out, "zkey")
+            .sortWithinPartitions("zkey")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max(1, (total_rows + n_out - 1) // n_out + 1))
+            .parquet(str(out_dir))
+        )
+        new_files = list_parquet_files(out_dir)
+        stats = [r.asDict() for r in file_stats_df(spark, [(f, part) for f in new_files]).collect()]
+        log.mark_unit_done(
+            part,
+            files_in=files,
+            new_manifest_rows=stats,
+            metrics={"files_rewritten": len(files), "files_written": len(new_files),
+                     "bytes": total_bytes, "rows": total_rows},
+        )
+        completed += 1
+        if _fail_after_units is not None and completed >= _fail_after_units:
+            raise RuntimeError(f"injected failure after {completed} units (test hook)")
+
+    done = log.completed_units()
+    removed = [f for rec in done.values() for f in rec["files_in"]]
+    new_rows = [row for rec in done.values() for row in rec["new_manifest_rows"]]
+    removed_df = spark.createDataFrame([(f,) for f in removed], "file_path string")
+    new_manifest = manifest.join(F.broadcast(removed_df), "file_path", "left_anti").unionByName(
+        spark.createDataFrame(new_rows, MANIFEST_SCHEMA)
+    )
+    summary = {
+        "curve": curve,
+        "columns": list(columns),
+        "files_rewritten": len(removed),
+        "files_written": len(new_rows),
+        "rows": sum(rec["metrics"]["rows"] for rec in done.values()),
+        "units": len(by_part),
+    }
+    sid = table.commit(new_manifest, operation=f"cluster-{curve}", summary=summary, parent_id=parent)
+    log.log_event("committed", snapshot_id=sid, **{k: v for k, v in summary.items() if k != "columns"})
+    return {"snapshot_id": sid, **summary}
+
+
+def prune_files(
+    manifest_df: DataFrame,
+    n_tok_range: tuple[int, int] | None = None,
+    doc_id_range: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Manifest-level min/max file pruning for a conjunctive predicate.
+
+    Returns the surviving manifest rows; pass their file_paths to
+    ``TokenTable.scan(files=...)``. This happens BEFORE Catalyst sees
+    any scan — the file list itself shrinks.
+    """
+    out = manifest_df
+    if n_tok_range is not None:
+        lo, hi = n_tok_range
+        out = out.filter((F.col("max_n_tok") >= lo) & (F.col("min_n_tok") <= hi))
+    if doc_id_range is not None:
+        lo, hi = doc_id_range
+        out = out.filter((F.col("max_doc_id") >= lo) & (F.col("min_doc_id") <= hi))
+    return out
