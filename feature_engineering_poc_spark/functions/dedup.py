@@ -1,0 +1,270 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes per operator:
+
+- exact_duplicates: hash-groupBy — one shuffle on a 32-char key, not
+  the full text. Map-side partial agg handles skew.
+- n-gram Jaccard: inverted-index self-join on shingles (explode →
+  join on shingle → pair-count), NOT an O(n²) cross join; union sizes
+  come from per-doc shingle counts.
+- MinHash: signatures built from md5(shingle # i) so the math is
+  replicable in ANSI SQL; band keys bucket the signature (b bands of
+  r), candidates = same-band pairs, verified by exact Jaccard. The
+  banding join is the scale path: pair candidates only within a
+  band bucket.
+- SimHash: 60-bit signature from md5 of each word, majority vote per
+  bit — pure Column algebra (explode + conv + bit ops), near-dup =
+  Hamming distance ≤ d via bit_count(xor).
+- Embedding cosine: exact pairs via blocked self-join; the LSH-bucketed
+  variant lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fp", F.md5(normalize_text(F.col(text_col))))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+
+    Returns (fp, dup_count, keep_id) for groups with >1 member;
+    keep_id = min id (the canonical survivor).
+    """
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Distinct word n-gram shingles of the normalized text; texts with
+    fewer than n words contribute their whole text as one shingle."""
+    words = F.split(normalize_text(text), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index join: |A∩B| = number of co-occurring distinct
+    shingles; |A∪B| = |A| + |B| − |A∩B|. Returns
+    (id_a, id_b, inter_size, union_size, jaccard_pct) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter_size"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
+        .withColumn(
+            "jaccard_pct",
+            F.round(F.lit(100.0) * F.col("inter_size") / F.col("union_size")).cast("int"),
+        )
+    )
+    return out.filter(F.col("inter_size") / F.col("union_size") >= threshold).select(
+        "id_a", "id_b", "inter_size", "union_size", "jaccard_pct"
+    )
+
+
+def minhash_signature(text: Column, k: int = 16, n: int = 5) -> Column:
+    """k-element MinHash signature: element i = min over shingles of
+    md5(shingle || '#' || i). md5-based so an ANSI-SQL oracle can
+    reproduce it bit-for-bit (lexicographic min over hex strings)."""
+    sh = shingles(text, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding: shingle → signature → band buckets →
+    same-bucket candidate pairs (→ optional exact-Jaccard verify).
+
+    rows-per-band r = k/bands; two docs collide in a band iff the r
+    signature slots agree exactly, so the candidate join touches only
+    bucket-mates — never the full pair space.
+    """
+    r = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), k, n).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r))).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    verified = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
+    return cand.join(verified, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "inter_size", "union_size", "jaccard_pct"
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document, pure Column algebra.
+
+    Each word hashes to 60 bits (15 hex chars of md5 → conv to long);
+    bit j of the signature is the majority vote of all words' bit j.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).withColumn("h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"))
+    votes = words.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(60)
+        ]
+    )
+    sig = votes.select(
+        "id",
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+             for b in range(60)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 15,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale:
+    a pair within Hamming d of each other on 60 bits must agree exactly
+    on at least one of 4 15-bit bands when d ≤ 3 (pigeonhole); larger d
+    trades recall. Join on band value, verify with bit_count(xor)."""
+    sig = simhash(df, id_col, text_col)
+    nb = 60 // band_bits
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bval")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bval"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine near-dup pairs via self-join.
+
+    ``block_col`` restricts pairing to same-block rows (e.g. an LSH
+    bucket or label) — the scale path; None compares all pairs (only
+    sane for modest n or as ground truth). Dot products run JVM-side
+    via zip_with + aggregate.
+    """
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    cond = [F.col("a.blk") == F.col("b.blk")] if block_col else []
+    joined = (
+        base.alias("a")
+        .join(base.alias("b"), cond if cond else F.lit(True))
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        joined.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

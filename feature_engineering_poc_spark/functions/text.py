@@ -1,0 +1,106 @@
+"""Text analysis: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Every function here is a pure ``Column`` expression (whole-stage
+codegen, no Python) and each has an exact ANSI-SQL twin in
+``__spark_entry__.oracle_sql`` — the implementations are deliberately
+restricted to constructs DuckDB evaluates identically (lower/trim/
+regexp_replace/md5/split counting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword kernels (public knowledge; enough for a
+# coarse n-gram-free heuristic language ID).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "fr": ["le", "la", "les", "de", "et", "est", "dans", "que", "pour", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "por", "con", "para"],
+}
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank → 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punctuation boundaries, approximating BPE token
+    inflation without a vocab. Deterministic, JVM-side."""
+    # inject boundaries, collapse, count
+    marked = F.regexp_replace(text, r"([0-9]+|[^A-Za-z0-9\s]+)", r" $1 ")
+    t = F.trim(marked)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not letter/digit/whitespace."""
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - stripped) / n)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Stopword hits / word count (quality signal: ~0 for gibberish)."""
+    pat = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    hits = F.regexp_count(F.lower(text), F.lit(pat))
+    wc = word_count(text)
+    return F.when(wc == 0, F.lit(0.0)).otherwise(hits / wc)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length, punctuation, stopwords.
+
+    score = 0.4*min(words/100,1) + 0.3*(1-min(punct_ratio*5,1))
+          + 0.3*min(stopword_ratio*4,1)
+    """
+    w = F.least(word_count(text) / 100.0, F.lit(1.0))
+    p = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    s = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return F.round(0.4 * w + 0.3 * p + 0.3 * s, 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (normalized by word count)."""
+    out = {}
+    low = F.lower(text)
+    for lang, words in LANG_STOPWORDS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.regexp_count(low, F.lit(pat))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; 'und' when no hits at all.
+
+    Ties break by fixed language order (en, fr, de, es) — mirrored
+    exactly in the SQL oracle via a CASE cascade.
+    """
+    scores = lang_scores(text)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (md5 evaluates identically in Spark and DuckDB → exact oracle)."""
+    return F.md5(normalize_text(text))
