@@ -1,38 +1,795 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: full maintenance pipeline (generate →
+                     compact → MERGE → Z-order cluster → verify scan
+                     equivalence) on a token table derived at sf0.001
+                     scale; returns the verification summary.
+``queries()``      — one entry per implemented operator (SURVEY.md §2
+                     parity pack, TPC-H-style joins/aggs, text/dedup/
+                     similarity packs, lakehouse maintenance ops).
+``oracle_sql()``   — exact ANSI-SQL twins for every SQL-expressible
+                     query (DuckDB dialect). Float-valued results are
+                     avoided by design: money as integer cents,
+                     ratios as integer permille, scores dropped or
+                     quantized — so value hashes match bit-for-bit.
+
+Non-SQL-expressible ops (lakehouse maintenance, LSH ANN, multimodal
+UDF plumbing, MinHash-LSH banding pipeline) have no oracle entry and
+get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from feature_engineering_poc_spark.functions import dedup, similarity, text
+from feature_engineering_poc_spark.functions.text import LANG_STOPWORDS
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _cfg(spark: SparkSession) -> SparkSession:
+    """Pin the runtime confs correctness depends on (driver session may
+    differ from ours)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end maintenance pipeline + scan-equivalence verdict."""
+    from feature_engineering_poc_spark.lakehouse import (
+        scan_fingerprint,
+        write_token_table,
+    )
+    from feature_engineering_poc_spark.lakehouse.clustering import cluster, prune_files
+    from feature_engineering_poc_spark.lakehouse.compaction import compact
+    from feature_engineering_poc_spark.lakehouse.generator import token_dataframe
+    from feature_engineering_poc_spark.lakehouse.merge import merge_into
 
+    _cfg(spark)
+    root = tempfile.mkdtemp(prefix="fepoc_entry_")
+    table = write_token_table(spark, root, n_rows=2000, files_per_source=4, max_tok=64)
+    fp0 = scan_fingerprint(table.scan(spark))
+
+    c = compact(spark, table, target_file_bytes=32 * 1024 * 1024)
+    fp1 = scan_fingerprint(table.scan(spark))
+
+    tgt = table.scan(spark)
+    updates = tgt.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+        "doc_id",
+        F.array(F.lit(1), F.lit(2)).cast("array<int>").alias("tokens"),
+        F.lit(2).cast("int").alias("n_tok"),
+        "source",
+        F.lit("upsert").alias("_op"),
+    )
+    inserts = token_dataframe(spark, 100, seed=7, max_tok=32, id_offset=5_000_000).withColumn(
+        "_op", F.lit("upsert")
+    )
+    m = merge_into(spark, table, updates.unionByName(inserts))
+
+    z = cluster(spark, table, curve="zorder", target_file_bytes=32 * 1024)
+    manifest = table.manifest_df(spark)
+    files_total = manifest.count()
+    files_pruned = prune_files(manifest, n_tok_range=(8, 16)).count()
+    fp_final = scan_fingerprint(table.scan(spark))
+
+    return spark.createDataFrame(
+        [
+            (
+                "pipeline",
+                int(fp0.row_count),
+                int(fp1.row_count),
+                int(fp_final.row_count),
+                bool(fp0.xor_hash == fp1.xor_hash),
+                int(c["files_compacted"]),
+                int(m["rows_updated"]),
+                int(m["rows_inserted"]),
+                int(z["files_written"]),
+                int(files_pruned),
+                int(files_total),
+            )
+        ],
+        "stage string, rows_initial long, rows_after_compact long, rows_final long, "
+        "compact_scan_equal boolean, files_compacted long, rows_updated long, "
+        "rows_inserted long, cluster_files long, files_pruned long, files_total long",
+    )
+
+
+# ----------------------------------------------------- parity (events)
+
+def q_t1_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_poc_spark.operators import TransactionIndicatorDeriver
+
+    ev = _t(_cfg(spark), sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit("CREDIT"))
+        .when(F.col("event_type") == "click", F.lit("debit"))
+        .alias("creditdebitindicator"),
+    )
+    out = TransactionIndicatorDeriver({})(ev)
+    return out.select(F.col("event_id").cast("long"), "is_credit", "is_debit")
+
+
+def q_t2_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_poc_spark.operators import TransactionDatetimeDeriver
+
+    ev = _t(_cfg(spark), sf_dir, "events")
+    out = TransactionDatetimeDeriver({"transaction_timestamp_col": "ts"})(ev)
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("transaction_hour").cast("long"),
+        F.col("transaction_day_of_week").cast("long"),
+    )
+
+
+def q_t3_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_poc_spark.operators import TransactionStatusDeriver
+
+    ev = _t(_cfg(spark), sf_dir, "events")
+    out = TransactionStatusDeriver(
+        {"transaction_status_col": "event_type", "output_col_prefix": "et",
+         "status_values": EVENT_TYPES}
+    )(ev)
+    return out.select(
+        F.col("event_id").cast("long"),
+        *[F.col(f"et_{v.upper()}") for v in EVENT_TYPES],
+    )
+
+
+def q_t5_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_poc_spark.operators import TransactionValueDeriver
+
+    ev = _t(_cfg(spark), sf_dir, "events")
+    out = TransactionValueDeriver(
+        {"input_col": "value", "output_col": "is_high_value", "high_value_threshold": 50.0}
+    )(ev)
+    return out.select(F.col("event_id").cast("long"), "is_high_value")
+
+
+def q_t8_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(_cfg(spark), sf_dir, "events").withColumn("cents", _cents(F.col("value")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.sum("cents").over(w).alias("sum_7d_cents"),
+        F.count("cents").over(w).cast("long").alias("cnt_7d"),
+    )
+
+
+def q_t9_monthly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_poc_spark.operators import UserMonthlyTransactionCounter
+
+    ev = _t(_cfg(spark), sf_dir, "events")
+    out = UserMonthlyTransactionCounter(
+        {"user_id_col": "user_id", "transaction_date_col": "ts",
+         "output_col": "monthly_cnt"}
+    )(ev)
+    return out.select(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long"),
+        F.col("monthly_cnt").cast("long"),
+    )
+
+
+def q_t10_categorical_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(_cfg(spark), sf_dir, "events").withColumn("cents", _cents(F.col("value")))
+    aggs = [
+        F.sum(F.when(F.col("event_type") == v, F.col("cents")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"spend_{v}_cents")
+        for v in EVENT_TYPES
+    ]
+    return ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(*aggs)
+
+
+# -------------------------------------------------------- TPC-H-style
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(_cfg(spark), sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc)).alias("sum_disc_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _cfg(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(F.col("l_orderkey").cast("long"), "o_orderdate", "o_orderpriority",
+                "revenue_cents")
+    )
+
+
+def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _cfg(spark)
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("n_name"))
+    )
+
+
+# ------------------------------------------------------ text/documents
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(_cfg(spark), sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t)
+    stripped = F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        text.word_count(t).cast("long").alias("word_cnt"),
+        text.bpe_ish_token_count(t).cast("long").alias("tok_cnt"),
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.round(F.lit(1000.0) * (n - stripped) / n))
+        .cast("long")
+        .alias("punct_permille"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(_cfg(spark), sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        F.round(text.quality_score(F.col("text")) * 1000).cast("long").alias("quality_permille"),
+    )
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(_cfg(spark), sf_dir, "documents")
+    return (
+        docs.select(text.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(_cfg(spark), sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return dedup.exact_duplicates(docs.unionByName(planted)).select(
+        "fp", F.col("dup_count").cast("long"), F.col("keep_id").cast("long")
+    )
+
+
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(_cfg(spark), sf_dir, "documents").filter(F.col("doc_id") < 60).select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz www qqq")).alias("text"),
+    )
+    out = dedup.ngram_jaccard_pairs(docs.unionByName(planted), n=3, threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("inter_size").cast("long"), F.col("union_size").cast("long"),
+        F.col("jaccard_pct").cast("long"),
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(_cfg(spark), sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sig = dedup.minhash_signature(F.col("text"), k=8, n=3)
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(8)],
+    )
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(_cfg(spark), sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.simhash(docs).select(F.col("id").cast("long").alias("doc_id"), "simhash")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding end-to-end (rows-only: banding is the
+    approximate scale path; exact-verify keeps precision = 1)."""
+    docs = _t(_cfg(spark), sf_dir, "documents").filter(F.col("doc_id") < 60).select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    out = dedup.minhash_lsh_pairs(docs.unionByName(planted), k=16, bands=8, n=3,
+                                  verify_threshold=0.5)
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+                      F.col("jaccard_pct").cast("long"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(_cfg(spark), sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    out = dedup.simhash_near_dup_pairs(docs.unionByName(planted), max_hamming=6)
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+                      F.col("hamming").cast("long"))
+
+
+# --------------------------------------------------------- embeddings
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(_cfg(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, queries, k=10)
+    return out.select(
+        F.col("query_id").cast("long"), F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — rows-only (bucketing is seeded-random)."""
+    emb = _t(_cfg(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(emb, queries, k=10, n_planes=6, probe_hamming=2)
+    return out.select(
+        F.col("query_id").cast("long"), F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(_cfg(spark), sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    out = dedup.embedding_cosine_pairs(
+        emb.unionByName(planted), threshold=0.999, block_col="label"
+    )
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+# ----------------------------------------------------------- streaming
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_poc_spark.streaming import windowed_event_counts
+
+    ev = _t(_cfg(spark), sf_dir, "events").withColumn("value", F.col("value"))
+    out = windowed_event_counts(ev, window="1 hour")  # same plan batch/stream
+    return out.select(
+        "window_start", "event_type", F.col("n_events").cast("long"),
+        _cents(F.col("sum_value")).alias("sum_cents_rounded"),
+    )
+
+
+# ---------------------------------------------- lakehouse maintenance
+
+def q_lakehouse_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_poc_spark.lakehouse import scan_fingerprint, write_token_table
+    from feature_engineering_poc_spark.lakehouse.compaction import compact
+
+    _cfg(spark)
+    root = tempfile.mkdtemp(prefix="fepoc_q_compact_")
+    t = write_token_table(spark, root, n_rows=2000, files_per_source=4, max_tok=64)
+    before = scan_fingerprint(t.scan(spark))
+    r = compact(spark, t, target_file_bytes=32 * 1024 * 1024)
+    after = scan_fingerprint(t.scan(spark))
+    return spark.createDataFrame(
+        [(int(before.row_count), int(after.row_count),
+          bool(before.xor_hash == after.xor_hash), int(r["files_compacted"] > r["files_written"]))],
+        "rows_before long, rows_after long, scan_equal boolean, reduced_files long",
+    )
+
+
+def q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_poc_spark.lakehouse import write_token_table
+    from feature_engineering_poc_spark.lakehouse.generator import token_dataframe
+    from feature_engineering_poc_spark.lakehouse.merge import merge_into
+
+    _cfg(spark)
+    root = tempfile.mkdtemp(prefix="fepoc_q_merge_")
+    t = write_token_table(spark, root, n_rows=2000, files_per_source=4, max_tok=64)
+    tgt = t.scan(spark)
+    updates = tgt.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+        "doc_id", F.array(F.lit(9)).cast("array<int>").alias("tokens"),
+        F.lit(1).cast("int").alias("n_tok"), "source", F.lit("upsert").alias("_op"),
+    )
+    deletes = tgt.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 1).select(
+        "doc_id", "tokens", "n_tok", "source", F.lit("delete").alias("_op")
+    )
+    inserts = token_dataframe(spark, 50, seed=3, max_tok=16, id_offset=7_000_000).withColumn(
+        "_op", F.lit("upsert")
+    )
+    n_del_expected = deletes.count()
+    r = merge_into(spark, t, updates.unionByName(deletes).unionByName(inserts))
+    rows_after = t.scan(spark).count()
+    return spark.createDataFrame(
+        [(int(r["rows_updated"]), int(r["rows_deleted"]), int(r["rows_inserted"]),
+          int(rows_after), bool(rows_after == 2000 - n_del_expected + 50))],
+        "rows_updated long, rows_deleted long, rows_inserted long, rows_after long, "
+        "count_consistent boolean",
+    )
+
+
+def q_lakehouse_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_poc_spark.lakehouse import scan_fingerprint, write_token_table
+    from feature_engineering_poc_spark.lakehouse.clustering import cluster, prune_files
+
+    _cfg(spark)
+    root = tempfile.mkdtemp(prefix="fepoc_q_cluster_")
+    t = write_token_table(spark, root, n_rows=4000, files_per_source=8, max_tok=256)
+    m0 = t.manifest_df(spark)
+    frac_before = prune_files(m0, n_tok_range=(16, 32)).count() / max(m0.count(), 1)
+    before = scan_fingerprint(t.scan(spark))
+    cluster(spark, t, curve="hilbert", target_file_bytes=48 * 1024)
+    after = scan_fingerprint(t.scan(spark))
+    m1 = t.manifest_df(spark)
+    frac_after = prune_files(m1, n_tok_range=(16, 32)).count() / max(m1.count(), 1)
+    return spark.createDataFrame(
+        [(bool(before.xor_hash == after.xor_hash), bool(frac_after < frac_before))],
+        "scan_equal boolean, pruning_improved boolean",
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_engineering_poc_spark.functions import multimodal as mm
+
+    _cfg(spark)
+    media = mm.synthetic_media_df(spark, n=100)
+    out = mm.extract_features(media, feature_dim=16, fake=True)
+    return out.select(
+        F.col("media_id").cast("long"), "modality",
+        F.col("payload_bytes").cast("long"),
+        F.size("feature").cast("long").alias("feature_dim"),
+    )
+
+
+# ------------------------------------------------------------ registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "t1_indicator": q_t1_indicator,
+        "t2_datetime": q_t2_datetime,
+        "t3_onehot": q_t3_onehot,
+        "t5_high_value": q_t5_high_value,
+        "t8_rolling_window": q_t8_rolling_window,
+        "t9_monthly_count": q_t9_monthly_count,
+        "t10_categorical_spend": q_t10_categorical_spend,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier": q_q5_local_supplier,
+        "text_stats": q_text_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id_counts": q_lang_id_counts,
+        "fingerprint_dups": q_fingerprint_dups,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_signatures": q_simhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "windowed_event_counts": q_windowed_event_counts,
+        "lakehouse_compact": q_lakehouse_compact,
+        "lakehouse_merge": q_lakehouse_merge,
+        "lakehouse_cluster": q_lakehouse_cluster,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------- oracle SQL
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+def _sql_word_count(t: str) -> str:
+    return (
+        f"CASE WHEN length(trim({t})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({t}), '\\s+')) END"
+    )
+
+
+def _sql_lang_exprs() -> tuple[str, str]:
+    hits = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    cascade = f"CASE WHEN {best} = 0 THEN 'und' "
+    for lang in LANG_STOPWORDS:
+        cascade += f"WHEN {hits[lang]} = {best} THEN '{lang}' "
+    cascade += "END"
+    return cascade, best
+
+
+def _sql_shingles(n: int) -> str:
+    """Distinct word n-grams of pre-normalized column ``norm``."""
+    return (
+        "list_distinct(list_transform("
+        f"range(greatest(len(string_split(norm, ' ')) - {n}, 0) + 1), "
+        f"i -> array_to_string(string_split(norm, ' ')[i+1:i+{n}], ' ')))"
+    )
+
+
+def _sql_simhash() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(60)
+    )
+    recomb = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(60)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_NORM.format(t='text')} AS norm FROM documents WHERE doc_id < 100
+), words AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM docs
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT AS BIGINT) AS h FROM words
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, ({recomb}) AS simhash FROM votes
+"""
+
+
+def _sql_minhash() -> str:
+    mh = ", ".join(
+        "list_min(list_transform(sh, s -> md5(s || '#' || '{i}')))".format(i=i) + f" AS mh{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {_NORM.format(t='text')} AS norm FROM documents WHERE doc_id < 100
+), shingled AS (
+  SELECT doc_id, {_sql_shingles(3)} AS sh FROM docs
+)
+SELECT doc_id, {mh} FROM shingled
+"""
+
+
+def _sql_ngram_pairs() -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz www qqq' FROM documents WHERE doc_id < 20
+), docs AS (
+  SELECT id, {_NORM.format(t='text')} AS norm FROM raw
+), shingled AS (
+  SELECT id, {_sql_shingles(3)} AS sh FROM docs
+), ex AS (
+  SELECT id, unnest(sh) AS s FROM shingled
+), sizes AS (
+  SELECT id, count(*) AS sz FROM ex GROUP BY id
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter_size
+  FROM ex a JOIN ex b USING (s) WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter_size,
+       sa.sz + sb.sz - inter_size AS union_size,
+       CAST(round(100.0 * inter_size / (sa.sz + sb.sz - inter_size)) AS BIGINT) AS jaccard_pct
+FROM pairs
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE inter_size * 1.0 / (sa.sz + sb.sz - inter_size) >= 0.5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_case, _ = _sql_lang_exprs()
+    stop_en = "|".join(LANG_STOPWORDS["en"])
+    et_flags = ", ".join(
+        f"upper(event_type) = '{v.upper()}' AS et_{v.upper()}" for v in EVENT_TYPES
+    )
+    et_sums = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{v}' THEN CAST(round(value*100) AS BIGINT) "
+        f"ELSE 0 END) AS BIGINT) AS spend_{v}_cents"
+        for v in EVENT_TYPES
+    )
+    wc = _sql_word_count("text")
+    bpe_marked = "regexp_replace(text, '([0-9]+|[^A-Za-z0-9\\s]+)', ' \\1 ', 'g')"
+    wc_bpe = _sql_word_count(bpe_marked)
+    strip_punct = "regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')"
+    stop_hits = "len(regexp_extract_all(lower(text), '\\b(" + stop_en + ")\\b'))"
+    return {
+        "t1_indicator": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       upper(ind) = 'CREDIT' AS is_credit,
+       upper(ind) = 'DEBIT'  AS is_debit
+FROM (SELECT event_id,
+             CASE WHEN event_type IN ('purchase','signup') THEN 'CREDIT'
+                  WHEN event_type = 'click' THEN 'debit' END AS ind
+      FROM events)
+""",
+        "t2_datetime": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(hour(ts) AS BIGINT) AS transaction_hour,
+       CAST(dayofweek(ts) + 1 AS BIGINT) AS transaction_day_of_week
+FROM events
+""",
+        "t3_onehot": f"SELECT CAST(event_id AS BIGINT) AS event_id, {et_flags} FROM events",
+        "t5_high_value": """
+SELECT CAST(event_id AS BIGINT) AS event_id, value > 50.0 AS is_high_value FROM events
+""",
+        "t8_rolling_window": """
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_7d_cents,
+       CAST(count(cents) OVER w AS BIGINT) AS cnt_7d
+FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value*100) AS BIGINT) AS cents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+""",
+        "t9_monthly_count": """
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) OVER (PARTITION BY user_id, year(ts), month(ts)) AS BIGINT)
+         AS monthly_cnt
+FROM events
+""",
+        "t10_categorical_spend": f"""
+SELECT CAST(user_id AS BIGINT) AS user_id, {et_sums} FROM events GROUP BY user_id
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT)
+         AS sum_charge_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q3_shipping_priority": """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "q5_local_supplier": """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name ASC
+""",
+        "text_stats": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({wc} AS BIGINT) AS word_cnt,
+       CAST({wc_bpe} AS BIGINT) AS tok_cnt,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+            ELSE round(1000.0 * (length(text) - length({strip_punct})) / length(text))
+            END AS BIGINT) AS punct_permille
+FROM documents
+""",
+        "quality_scores": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(round(1000 * round(
+         0.4 * least(({wc}) / 100.0, 1.0)
+       + 0.3 * (1.0 - least(CASE WHEN length(text)=0 THEN 0.0
+             ELSE (length(text) - length({strip_punct}))
+                  * 1.0 / length(text) END * 5.0, 1.0))
+       + 0.3 * least(CASE WHEN ({wc}) = 0 THEN 0.0
+             ELSE {stop_hits}
+                  * 1.0 / ({wc}) END * 4.0, 1.0), 4)) AS BIGINT)
+         AS quality_permille
+FROM documents
+""",
+        "lang_id_counts": f"""
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT {lang_case} AS lang_pred FROM documents)
+GROUP BY lang_pred ORDER BY lang_pred
+""",
+        "fingerprint_dups": f"""
+WITH raw AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+)
+SELECT md5({_NORM.format(t='text')}) AS fp,
+       CAST(count(*) AS BIGINT) AS dup_count, CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM raw GROUP BY 1 HAVING count(*) > 1
+""",
+        "ngram_jaccard_dups": _sql_ngram_pairs(),
+        "minhash_signatures": _sql_minhash(),
+        "simhash_signatures": _sql_simhash(),
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding) AS c
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM r WHERE rank <= 10
+""",
+        "embedding_near_dups": """
+WITH all_vecs AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding, label FROM embeddings WHERE vec_id < 20
+)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+FROM all_vecs a JOIN all_vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+""",
+        "windowed_event_counts": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value)*100) AS BIGINT) AS sum_cents_rounded
+FROM events GROUP BY 1, 2
+""",
+    }
