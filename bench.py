@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the driver runs): execute the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` plus the maintenance benchmarks
+(compaction + MERGE throughput on a synthetic token table), and print
+ONE JSON line::
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "maintenance": {...rows/sec...}}
+
+Scaling mode (``--scaling``): run the maintenance benchmarks at two
+parallelism levels (N and 4N cores — the sandbox proxy for N vs 4N
+executors, BASELINE.json north_rule) in fresh subprocesses, compute
+scaling efficiency = (tput_4N / tput_N) / 4, and rewrite
+``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "t8_rolling_window",
+    "t10_categorical_spend",
+    "ann_topk",
+    "text_stats",
+    "fingerprint_dups",
+    "windowed_event_counts",
+]
+
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
+# scaling mode needs enough work that the parallel fraction dominates
+# the per-job driver overhead (Amdahl): the efficiency measurement is
+# meaningless when fixed job costs dominate
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "4000000"))
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+# at sandbox data sizes the default 64MB targets collapse the rewrite
+# into fewer tasks than cores; 100TB tables never hit this (file count
+# >> cores), so the bench pins smaller targets to expose parallelism
+BENCH_TARGET_BYTES = int(os.environ.get("SPARK_GRAFT_BENCH_TARGET", str(16 * 1024 * 1024)))
+
+
+def _materialize(df) -> int:
+    """Force full evaluation of every column (noop sink, no driver collect)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_maintenance(spark, n_rows: int) -> dict:
+    """Compaction + MERGE + clustering throughput on a synthetic token table.
+
+    Table setup is NOT timed; each maintenance op is timed and reported
+    as sequences/sec (the north-rule metric).
+    """
+    from pyspark.sql import functions as F
+
+    from feature_engineering_poc_spark.lakehouse import write_token_table
+    from feature_engineering_poc_spark.lakehouse.clustering import cluster
+    from feature_engineering_poc_spark.lakehouse.compaction import compact
+    from feature_engineering_poc_spark.lakehouse.generator import token_dataframe
+    from feature_engineering_poc_spark.lakehouse.merge import merge_into
+
+    root = tempfile.mkdtemp(prefix="fepoc_bench_")
+    table = write_token_table(
+        spark, root, n_rows=n_rows, files_per_source=32, max_tok=256
+    )
+
+    t0 = time.time()
+    compact(spark, table, target_file_bytes=BENCH_TARGET_BYTES)
+    compact_sec = time.time() - t0
+
+    tgt = table.scan(spark)
+    updates = tgt.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+        "doc_id",
+        F.array(F.lit(1)).cast("array<int>").alias("tokens"),
+        F.lit(1).cast("int").alias("n_tok"),
+        "source",
+        F.lit("upsert").alias("_op"),
+    )
+    deletes = tgt.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 1).select(
+        "doc_id", "tokens", "n_tok", "source", F.lit("delete").alias("_op")
+    )
+    inserts = token_dataframe(
+        spark, n_rows // 10, seed=11, max_tok=128, id_offset=50_000_000
+    ).withColumn("_op", F.lit("upsert"))
+    source = updates.unionByName(deletes).unionByName(inserts).persist()
+    source.count()  # build the source outside the timed region
+
+    t0 = time.time()
+    merge_into(spark, table, source)
+    merge_sec = time.time() - t0
+    source.unpersist()
+
+    t0 = time.time()
+    cluster(spark, table, curve="zorder", target_file_bytes=BENCH_TARGET_BYTES)
+    cluster_sec = time.time() - t0
+
+    return {
+        "rows": n_rows,
+        "compact_sec": round(compact_sec, 3),
+        "compact_rows_per_sec": round(n_rows / compact_sec, 1),
+        "merge_sec": round(merge_sec, 3),
+        "merge_rows_per_sec": round(n_rows / merge_sec, 1),
+        "cluster_sec": round(cluster_sec, 3),
+        "cluster_rows_per_sec": round(n_rows / cluster_sec, 1),
+    }
+
+
+def run_once(cpus: int, sf_dir: str, maintenance_only: bool = False,
+             n_rows: int | None = None) -> dict:
+    from feature_engineering_poc_spark.session import get_session
+
+    spark = get_session(
+        app_name=f"bench-{cpus}",
+        parallelism=cpus,
+        # keep post-shuffle parallelism ≥ cores at sandbox data sizes
+        # (AQE would otherwise coalesce ~100MB shuffles to 2 partitions)
+        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
+    )
+    t_start = time.time()
+    queries = {} if maintenance_only else run_headline(spark, sf_dir)
+    maint = run_maintenance(spark, n_rows or BENCH_ROWS)
+    total = round(time.time() - t_start, 3)
+    spark.stop()
+    queries["compact"] = maint["compact_sec"]
+    queries["merge"] = maint["merge_sec"]
+    queries["cluster"] = maint["cluster_sec"]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "maintenance": maint,
+    }
+
+
+def run_scaling(n_small: int = SCALING_N) -> dict:
+    """Same maintenance job at N and 4N cores in fresh JVMs."""
+    results = {}
+    for cpus in (n_small, n_small * 4):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_ROWS=str(SCALING_ROWS))
+        out = subprocess.run(
+            [sys.executable, __file__, "--maintenance-only"],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    small, big = results[n_small]["maintenance"], results[n_small * 4]["maintenance"]
+    eff = {
+        op: round(
+            (big[f"{op}_rows_per_sec"] / small[f"{op}_rows_per_sec"]) / 4, 3
+        )
+        for op in ("compact", "merge", "cluster")
+    }
+    return {"n_small": n_small, "results": results, "efficiency": eff}
+
+
+def write_baseline_md(scaling: dict) -> None:
+    n = scaling["n_small"]
+    small = scaling["results"][n]["maintenance"]
+    big = scaling["results"][n * 4]["maintenance"]
+    eff = scaling["efficiency"]
+    lines = [
+        "# BENCH/BASELINE — maintenance throughput + scaling efficiency",
+        "",
+        f"Sandbox proxy for N vs 4N executors: `local[{n}]` vs `local[{n*4}]`,",
+        f"same input ({small['rows']} synthetic sequences, fresh JVM per level),",
+        "shuffle partitions = cores. Efficiency = (tput_4N / tput_N) / 4.",
+        "",
+        "| op | rows/sec @N | rows/sec @4N | scaling efficiency |",
+        "|---|---|---|---|",
+    ]
+    for op in ("compact", "merge", "cluster"):
+        lines.append(
+            f"| {op} | {small[f'{op}_rows_per_sec']} | "
+            f"{big[f'{op}_rows_per_sec']} | {eff[op]} |"
+        )
+    lines += [
+        "",
+        f"Raw: N={n}: {json.dumps(small)}",
+        f"Raw: 4N={n*4}: {json.dumps(big)}",
+        "",
+        "Pass threshold (BASELINE.json): ≥ 0.8 between N and 4N.",
+        "Note: local-mode scaling under-reports the cluster case — all 4N",
+        "threads share one JVM heap, one disk, and one shuffle service;",
+        "per-partition work is embarrassingly parallel across executors.",
+    ]
+    Path("BENCH").mkdir(exist_ok=True)
+    Path("BENCH/BASELINE.md").write_text("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling = run_scaling()
+        write_baseline_md(scaling)
+        print(json.dumps({"metric": "scaling_efficiency", "unit": "ratio",
+                          "value": scaling["efficiency"], }))
+    else:
+        maintenance_only = "--maintenance-only" in sys.argv
+        print(json.dumps(run_once(CPUS, SF_DIR, maintenance_only)))

@@ -25,6 +25,7 @@ Scale shape:
 from __future__ import annotations
 
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
@@ -131,11 +132,8 @@ def cluster(
 
     log = LineageLog(table.root, job_id or f"{curve}-snap{parent}")
     done = log.completed_units()
-    completed = 0
 
-    for part in sorted(by_part):
-        if part in done:
-            continue
+    def run_unit(part: str) -> None:
         rows_p = by_part[part]
         files = [r.file_path for r in rows_p]
         total_bytes = sum(r.file_bytes for r in rows_p)
@@ -164,9 +162,19 @@ def cluster(
             metrics={"files_rewritten": len(files), "files_written": len(new_files),
                      "bytes": total_bytes, "rows": total_rows},
         )
-        completed += 1
-        if _fail_after_units is not None and completed >= _fail_after_units:
-            raise RuntimeError(f"injected failure after {completed} units (test hook)")
+
+    # concurrent resumable units (see compaction.py for rationale);
+    # sequential under the crash-injection hook.
+    pending = [p for p in sorted(by_part) if p not in done]
+    if _fail_after_units is not None:
+        for i, part in enumerate(pending, 1):
+            run_unit(part)
+            if i >= _fail_after_units:
+                raise RuntimeError(f"injected failure after {i} units (test hook)")
+    elif pending:
+        with ThreadPoolExecutor(max_workers=min(8, len(pending))) as ex:
+            for f in [ex.submit(run_unit, p) for p in pending]:
+                f.result()
 
     done = log.completed_units()
     removed = [f for rec in done.values() for f in rec["files_in"]]

@@ -29,6 +29,7 @@ the mechanism is explicit and from scratch.
 from __future__ import annotations
 
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -41,15 +42,83 @@ from .stats import file_stats_df
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
+def _rewrite_bins_distributed(
+    spark: SparkSession, bin_specs: list[dict]
+) -> list[dict]:
+    """Execute bin rewrites as ONE shuffle-free Spark job.
+
+    Each task receives bin specs, reads the bin's files with pyarrow
+    (vectorized C++, no per-row Python), sorts the bin by doc_id for
+    locality, writes exactly one target-size output file, and returns
+    its manifest row (footer stats computed in-task — no second pass).
+
+    Compaction within a partition is embarrassingly parallel across
+    bins: no shuffle, no range-sampling pass, parallelism = number of
+    bins (at 100 TB: hundreds of thousands).
+    """
+    import json as _json
+
+    import pandas as pd
+
+    def kernel(batches):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        cols = ["doc_id", "tokens", "n_tok", "source"]
+        for pdf in batches:
+            out = []
+            for spec_json in pdf["spec"]:
+                spec = _json.loads(spec_json)
+                tbl = pa.concat_tables(
+                    [pq.read_table(f, columns=cols) for f in spec["files"]]
+                )
+                tbl = tbl.take(pc.sort_indices(tbl.column("doc_id")))
+                os.makedirs(os.path.dirname(spec["out"]), exist_ok=True)
+                pq.write_table(tbl, spec["out"], compression="snappy")
+                doc = tbl.column("doc_id")
+                ntk = tbl.column("n_tok")
+                out.append(
+                    {
+                        "file_path": spec["out"],
+                        "partition": spec["partition"],
+                        "record_count": tbl.num_rows,
+                        "file_bytes": os.path.getsize(spec["out"]),
+                        "min_doc_id": pc.min(doc).as_py(),
+                        "max_doc_id": pc.max(doc).as_py(),
+                        "min_n_tok": pc.min(ntk).as_py(),
+                        "max_n_tok": pc.max(ntk).as_py(),
+                        "min_zkey": None,
+                        "max_zkey": None,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in MANIFEST_SCHEMA.fields])
+
+    specs_df = spark.createDataFrame(
+        [(_json.dumps(s),) for s in bin_specs], "spec string"
+    ).repartition(len(bin_specs))
+    return [r.asDict() for r in specs_df.mapInPandas(kernel, MANIFEST_SCHEMA).collect()]
+
+
 def compact(
     spark: SparkSession,
     table: TokenTable,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     small_file_threshold: int | None = None,
     job_id: str | None = None,
+    mode: str = "binpack",
     _fail_after_units: int | None = None,
 ) -> dict:
     """Compact small files; returns a summary dict (snapshot_id=None if no-op).
+
+    ``mode="binpack"`` (default, Iceberg-binpack semantics): zero
+    shuffle — each FFD bin becomes one task that rewrites its files
+    into one sorted output file. ``mode="sort"``: per-partition global
+    sort via ``repartitionByRange(doc_id)`` (use when the table needs
+    re-sorting, not just file-size repair; clustering.py is the
+    dedicated re-sort op).
 
     ``_fail_after_units`` is a test hook that injects a crash after N
     completed units to exercise checkpoint resume.
@@ -80,42 +149,63 @@ def compact(
 
     log = LineageLog(table.root, job_id or f"compact-snap{parent}")
     done = log.completed_units()
-    resumed = 0
-    completed = 0
+    resumed = sum(1 for part, _ in units if part in done)
+    pending = [(part, bins) for part, bins in units if part not in done]
 
-    # EXECUTE per partition unit (resumable granularity).
-    for part, bins in units:
-        if part in done:
-            resumed += 1
-            continue
+    def run_unit(part: str, bins) -> None:
         files = [f for b in bins for f in b.files]
         rows = sum(b.rows for b in bins)
         n_out = len(bins)
         out_dir = table.new_data_dir(f"compact-snap{parent}") / part
-        df = spark.read.schema(TOKEN_SCHEMA).parquet(*files)
-        (
-            df.repartitionByRange(n_out, "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", max(1, (rows + n_out - 1) // n_out + 1))
-            .parquet(str(out_dir))
-        )
-        new_files = list_parquet_files(out_dir)
-        stats = [r.asDict() for r in file_stats_df(spark, [(f, part) for f in new_files]).collect()]
+        if mode == "binpack":
+            specs = [
+                {"files": b.files, "partition": part, "out": str(out_dir / f"bin-{i:05d}.parquet")}
+                for i, b in enumerate(bins)
+            ]
+            stats = _rewrite_bins_distributed(spark, specs)
+            new_count = len(stats)
+        else:  # mode == "sort": global per-partition re-sort (one range shuffle)
+            df = spark.read.schema(TOKEN_SCHEMA).parquet(*files)
+            (
+                df.repartitionByRange(n_out, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", max(1, (rows + n_out - 1) // n_out + 1))
+                .parquet(str(out_dir))
+            )
+            new_files = list_parquet_files(out_dir)
+            stats = [
+                r.asDict()
+                for r in file_stats_df(spark, [(f, part) for f in new_files]).collect()
+            ]
+            new_count = len(new_files)
         log.mark_unit_done(
             part,
             files_in=files,
             new_manifest_rows=stats,
             metrics={
                 "files_rewritten": len(files),
-                "files_written": len(new_files),
+                "files_written": new_count,
                 "bytes_compacted": sum(b.bytes for b in bins),
                 "rows": rows,
             },
         )
-        completed += 1
-        if _fail_after_units is not None and completed >= _fail_after_units:
-            raise RuntimeError(f"injected failure after {completed} units (test hook)")
+
+    # EXECUTE per partition unit (resumable granularity). Units run
+    # CONCURRENTLY — Spark's scheduler interleaves the jobs, so small
+    # partitions don't serialize behind big ones (same idea as
+    # Iceberg's rewrite commit groups). The test hook forces the
+    # sequential path to make "crash after k units" deterministic.
+    if _fail_after_units is not None:
+        for i, (part, bins) in enumerate(pending, 1):
+            run_unit(part, bins)
+            if i >= _fail_after_units:
+                raise RuntimeError(f"injected failure after {i} units (test hook)")
+    elif pending:
+        with ThreadPoolExecutor(max_workers=min(8, len(pending))) as ex:
+            futures = [ex.submit(run_unit, part, bins) for part, bins in pending]
+            for f in futures:
+                f.result()
 
     # COMMIT — assemble manifest from lineage (covers resumed units too).
     done = log.completed_units()

@@ -84,11 +84,13 @@ def write_token_table(
     files retain ALL columns — partition values live in the manifest,
     not in hive-style paths).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     table = TokenTable.create(root)
-    df = token_dataframe(spark, n_rows, seed=seed, min_tok=min_tok, max_tok=max_tok)
+    df = token_dataframe(spark, n_rows, seed=seed, min_tok=min_tok, max_tok=max_tok).persist()
     data_dir = table.new_data_dir("append-snap0")
-    pairs: list[tuple[str, str]] = []
-    for source, _pct in SOURCES_SKEWED:
+
+    def write_source(source: str) -> list[tuple[str, str]]:
         out = data_dir / source
         (
             df.filter(F.col("source") == source)
@@ -96,7 +98,12 @@ def write_token_table(
             .write.mode("overwrite")
             .parquet(str(out))
         )
-        pairs += [(f, source) for f in list_parquet_files(out)]
+        return [(f, source) for f in list_parquet_files(out)]
+
+    with ThreadPoolExecutor(max_workers=len(SOURCES_SKEWED)) as ex:
+        pairs = [p for fut in [ex.submit(write_source, s) for s, _ in SOURCES_SKEWED]
+                 for p in fut.result()]
+    df.unpersist()
     manifest = file_stats_df(spark, pairs)
     table.commit(manifest, operation="append", summary={"rows": n_rows, "files": len(pairs)})
     return table

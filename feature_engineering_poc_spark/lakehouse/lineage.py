@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from pathlib import Path
 
@@ -27,6 +28,7 @@ class LineageLog:
         self.path = Path(table_root) / "metadata" / "lineage" / f"{job_id}.jsonl"
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self.job_id = job_id
+        self._lock = threading.Lock()  # units may complete concurrently
 
     def records(self) -> list[dict]:
         if not self.path.exists():
@@ -64,7 +66,7 @@ class LineageLog:
         self._append({"event": event, "job_id": self.job_id, "timestamp_ms": int(time.time() * 1000), **kv})
 
     def _append(self, rec: dict) -> None:
-        with open(self.path, "a") as f:
+        with self._lock, open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
             f.flush()
             os.fsync(f.fileno())

@@ -35,6 +35,7 @@ Scale shape:
 from __future__ import annotations
 
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,18 +130,25 @@ def _merge(spark, table, manifest, src, parent, salt, job_id, _fail_after_units)
         matched = spark.createDataFrame([], "doc_id string, file_path string").persist()
         touched_files = set()
 
-    metrics = {"rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0}
+    # global matched-row counts — ONE small agg over the persisted probe
+    # (per-unit counting would re-execute each unit's join: the range
+    # repartition's sampling pass runs the plan twice)
+    op_counts = {
+        r._op: r.n
+        for r in src.join(matched.select("doc_id").distinct(), "doc_id")
+        .groupBy("_op")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    metrics = {
+        "rows_updated": int(op_counts.get("upsert", 0)),
+        "rows_deleted": int(op_counts.get("delete", 0)),
+        "rows_inserted": 0,
+    }
     out_root = table.new_data_dir(f"merge-snap{parent}")
-    completed = 0
+    touched_norm = {_norm(t) for t in touched_files}
 
-    # 3. REWRITE touched files, one resumable unit per partition.
-    for part in sorted(cand_by_part):
-        files_p = [f for f in cand_by_part[part] if _norm(f) in {_norm(t) for t in touched_files}]
-        if not files_p:
-            continue
-        unit = f"rewrite:{part}"
-        if unit in done:
-            continue
+    def run_rewrite_unit(part: str, files_p: list[str]) -> None:
         target_p = spark.read.schema(TOKEN_SCHEMA).parquet(*files_p)
         joined = target_p.alias("t").join(
             src.select(
@@ -152,8 +160,6 @@ def _merge(spark, table, manifest, src, parent, salt, job_id, _fail_after_units)
             F.col("t.doc_id") == F.col("s_doc_id"),
             "left",
         )
-        n_upd = joined.filter(F.col("s_op") == "upsert").count()
-        n_del = joined.filter(F.col("s_op") == "delete").count()
         rewritten = (
             joined.filter((F.col("s_op").isNull()) | (F.col("s_op") != "delete"))
             .select(
@@ -178,15 +184,29 @@ def _merge(spark, table, manifest, src, parent, salt, job_id, _fail_after_units)
         new_files = list_parquet_files(out_dir)
         stats = [r.asDict() for r in file_stats_df(spark, [(f, part) for f in new_files]).collect()]
         log.mark_unit_done(
-            unit,
+            f"rewrite:{part}",
             files_in=files_p,
             new_manifest_rows=stats,
-            metrics={"rows_updated": n_upd, "rows_deleted": n_del,
-                     "files_rewritten": len(files_p), "files_written": len(new_files)},
+            metrics={"files_rewritten": len(files_p), "files_written": len(new_files)},
         )
-        completed += 1
-        if _fail_after_units is not None and completed >= _fail_after_units:
-            raise RuntimeError(f"injected failure after {completed} units (test hook)")
+
+    # 3. REWRITE touched files — one resumable unit per partition, run
+    # concurrently (Spark interleaves the jobs; lineage appends are
+    # thread-safe). Sequential under the crash-injection test hook.
+    pending = []
+    for part in sorted(cand_by_part):
+        files_p = [f for f in cand_by_part[part] if _norm(f) in touched_norm]
+        if files_p and f"rewrite:{part}" not in done:
+            pending.append((part, files_p))
+    if _fail_after_units is not None:
+        for i, (part, files_p) in enumerate(pending, 1):
+            run_rewrite_unit(part, files_p)
+            if i >= _fail_after_units:
+                raise RuntimeError(f"injected failure after {i} units (test hook)")
+    elif pending:
+        with ThreadPoolExecutor(max_workers=min(8, len(pending))) as ex:
+            for f in [ex.submit(run_rewrite_unit, p, fs) for p, fs in pending]:
+                f.result()
 
     # 4. INSERT unit — not-matched upserts, routed per partition.
     if "insert" not in done:
@@ -199,8 +219,9 @@ def _merge(spark, table, manifest, src, parent, salt, job_id, _fail_after_units)
         stats = []
         if n_ins:
             ins_dir = out_root / "_inserts"
-            parts = [r.source for r in inserts.select("source").distinct().collect()]
-            for p in sorted(parts):
+            parts = sorted(r.source for r in inserts.select("source").distinct().collect())
+
+            def write_ins(p: str) -> list[tuple[str, str]]:
                 d = ins_dir / p
                 (
                     inserts.filter(F.col("source") == p)
@@ -209,10 +230,12 @@ def _merge(spark, table, manifest, src, parent, salt, job_id, _fail_after_units)
                     .write.mode("overwrite")
                     .parquet(str(d))
                 )
-                stats += [
-                    r.asDict()
-                    for r in file_stats_df(spark, [(f, p) for f in list_parquet_files(d)]).collect()
-                ]
+                return [(f, p) for f in list_parquet_files(d)]
+
+            with ThreadPoolExecutor(max_workers=min(8, len(parts))) as ex:
+                pairs = [pr for fut in [ex.submit(write_ins, p) for p in parts]
+                         for pr in fut.result()]
+            stats = [r.asDict() for r in file_stats_df(spark, pairs).collect()]
         inserts.unpersist()
         log.mark_unit_done("insert", files_in=[], new_manifest_rows=stats,
                            metrics={"rows_inserted": n_ins})
