@@ -107,7 +107,8 @@ def string_prefix_ordinal(values, nbytes: int = 8) -> np.ndarray:
     if nbytes != 8:
         raise ValueError("only 8-byte prefixes supported")
     s = pd.Series(values).fillna("").astype(str)
-    # 'S8' truncates/null-pads each string to 8 bytes; reinterpret the
-    # packed buffer as big-endian uint64 — fully vectorized.
-    packed = np.asarray(s.values, dtype="S8")
+    # encode to UTF-8 (byte order == code-point order), then 'S8'
+    # truncates/null-pads each value to 8 bytes; reinterpret the packed
+    # buffer as big-endian uint64 — fully vectorized.
+    packed = np.asarray(s.str.encode("utf-8").values, dtype="S8")
     return np.frombuffer(packed.tobytes(), dtype=">u8").astype(np.uint64)
