@@ -261,6 +261,45 @@ def q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo share of revenue per month (join+agg over part)."""
+    spark = _cfg(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .alias("promo_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+        .orderBy("ship_year", "ship_month")
+    )
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events props column (the
+    reference has no JSON data-plane functions — SURVEY §2.2)."""
+    ev = _t(_cfg(spark), sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ------------------------------------------------------ text/documents
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier": q_q5_local_supplier,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "json_props_stats": q_json_props_stats,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id_counts": q_lang_id_counts,
@@ -723,6 +764,26 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name
 ORDER BY revenue_cents DESC, n_name ASC
+""",
+        "q14_promo_revenue": """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "json_props_stats": """
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+GROUP BY event_type ORDER BY event_type
 """,
         "text_stats": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -25,7 +25,10 @@ class SchemaValidationError(ValueError):
 
 
 def read_source(
-    spark: SparkSession, source: SourceDefinition, check_types: bool = False
+    spark: SparkSession,
+    source: SourceDefinition,
+    check_types: bool = False,
+    run_quality: bool = False,
 ) -> DataFrame:
     cfg = source.config
     if cfg.query:
@@ -49,6 +52,10 @@ def read_source(
             f"source '{source.name}' has no query, table, or location configured"
         )
     _validate_schema(df, source, check_types)
+    if run_quality and source.quality_checks:
+        from .quality import run_quality_checks
+
+        run_quality_checks(df, source.quality_checks, strict=True)
     return df
 
 
