@@ -126,6 +126,28 @@ def run_maintenance(spark, n_rows: int) -> dict:
     cluster(spark, table, curve="zorder", target_file_bytes=BENCH_TARGET_BYTES)
     cluster_sec = time.time() - t0
 
+    # skewed MERGE: one hot doc_id repeated n/10 times in the source —
+    # duplicate_policy="last" exercises the salted two-phase dedupe
+    hot_doc = table.scan(spark).select("doc_id").orderBy("doc_id").limit(1).collect()[0].doc_id
+    hot = spark.range(n_rows // 10).select(
+        F.lit(hot_doc).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).cast("int").alias("n_tok"),
+        F.lit("web").alias("source"),
+        F.lit("upsert").alias("_op"),
+        F.col("id").alias("_seq"),
+    )
+    cold = token_dataframe(spark, n_rows // 20, seed=13, max_tok=64,
+                           id_offset=90_000_000).select(
+        "doc_id", "tokens", "n_tok", "source"
+    ).withColumn("_op", F.lit("upsert")).withColumn("_seq", F.lit(0).cast("long"))
+    skewed = hot.unionByName(cold).persist()
+    skewed.count()
+    t0 = time.time()
+    merge_into(spark, table, skewed, duplicate_policy="last", salt=16)
+    merge_skewed_sec = time.time() - t0
+    skewed.unpersist()
+
     shutil.rmtree(root, ignore_errors=True)  # keep /tmp from filling across runs
     return {
         "rows": n_rows,
@@ -135,6 +157,8 @@ def run_maintenance(spark, n_rows: int) -> dict:
         "merge_rows_per_sec": round(n_rows / merge_sec, 1),
         "cluster_sec": round(cluster_sec, 3),
         "cluster_rows_per_sec": round(n_rows / cluster_sec, 1),
+        "merge_skewed_sec": round(merge_skewed_sec, 3),
+        "merge_skewed_rows_per_sec": round((n_rows // 10 + n_rows // 20) / merge_skewed_sec, 1),
     }
 
 
@@ -157,6 +181,7 @@ def run_once(cpus: int, sf_dir: str, maintenance_only: bool = False,
     queries["compact"] = maint["compact_sec"]
     queries["merge"] = maint["merge_sec"]
     queries["cluster"] = maint["cluster_sec"]
+    queries["merge_skewed"] = maint["merge_skewed_sec"]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "suite_wall_sec",

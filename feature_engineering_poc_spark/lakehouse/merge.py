@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from .lineage import LineageLog
 from .metadata import MANIFEST_SCHEMA, TOKEN_SCHEMA, TokenTable, list_parquet_files
-from .skew import salted_join, salted_latest_by_key
+from .skew import salted_latest_by_key
 from .stats import file_stats_df
 
 
@@ -50,7 +50,9 @@ class DuplicateSourceKeys(ValueError):
     pass
 
 
-def _prepare_source(source_df: DataFrame, duplicate_policy: str) -> DataFrame:
+def _prepare_source(
+    source_df: DataFrame, duplicate_policy: str, salt: int = 16
+) -> DataFrame:
     cols = set(source_df.columns)
     if "_op" not in cols:
         source_df = source_df.withColumn("_op", F.lit("upsert"))
@@ -68,7 +70,7 @@ def _prepare_source(source_df: DataFrame, duplicate_policy: str) -> DataFrame:
     if duplicate_policy == "last":
         # salted two-phase agg — hot duplicate keys fan out before the
         # final per-key reduce (skew.py)
-        return salted_latest_by_key(source_df, key="doc_id", order_col="_seq")
+        return salted_latest_by_key(source_df, key="doc_id", order_col="_seq", salt=salt)
     raise ValueError(f"unknown duplicate_policy: {duplicate_policy}")
 
 
@@ -77,20 +79,23 @@ def merge_into(
     table: TokenTable,
     source_df: DataFrame,
     duplicate_policy: str = "error",
-    salt: int | None = None,
+    salt: int = 16,
     job_id: str | None = None,
     _fail_after_units: int | None = None,
 ) -> dict:
+    """``salt`` controls the fan-out of the two-phase dedupe when
+    ``duplicate_policy="last"`` (key-level source skew is defused
+    there; the downstream joins see unique keys)."""
     parent = table.current_snapshot_id()
     manifest = table.manifest_df(spark)
-    src = _prepare_source(source_df, duplicate_policy).persist()
+    src = _prepare_source(source_df, duplicate_policy, salt).persist()
     try:
-        return _merge(spark, table, manifest, src, parent, salt, job_id, _fail_after_units)
+        return _merge(spark, table, manifest, src, parent, job_id, _fail_after_units)
     finally:
         src.unpersist()
 
 
-def _merge(spark, table, manifest, src, parent, salt, job_id, _fail_after_units):
+def _merge(spark, table, manifest, src, parent, job_id, _fail_after_units):
     log = LineageLog(table.root, job_id or f"merge-snap{parent}")
     done = log.completed_units()
 
@@ -112,6 +117,10 @@ def _merge(spark, table, manifest, src, parent, salt, job_id, _fail_after_units)
 
     # 2. PROBE — column-pruned scan of candidates (doc_id only) to find
     # exactly-touched files and the matched key set.
+    # source keys are UNIQUE here (dup policy ran in _prepare_source —
+    # key-level skew is defused there by the salted two-phase dedupe),
+    # so the probe join is a plain equi-join; AQE skew-join covers any
+    # residual partition-level skew.
     src_keys = src.select("doc_id")
     if cand_files:
         probe = (
@@ -119,12 +128,7 @@ def _merge(spark, table, manifest, src, parent, salt, job_id, _fail_after_units)
             .parquet(*cand_files)
             .select("doc_id", F.input_file_name().alias("file_path"))
         )
-        probe = (
-            salted_join(probe, src_keys, "doc_id", salt=salt)
-            if salt
-            else probe.join(src_keys, "doc_id")
-        )
-        matched = probe.persist()
+        matched = probe.join(src_keys, "doc_id").persist()
         touched_files = {r.file_path for r in matched.select("file_path").distinct().collect()}
     else:
         matched = spark.createDataFrame([], "doc_id string, file_path string").persist()
