@@ -300,6 +300,76 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (year, month): subtotal + grand-total rows
+    (grouping sets — absent from the reference, SURVEY §2.2)."""
+    li = _t(_cfg(spark), sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.rollup(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+        )
+        .agg(F.sum(rev).alias("revenue_cents"), F.count("*").alias("n_items"))
+        .orderBy("ship_year", "ship_month")
+    )
+
+
+def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over user sets (set operations — absent from
+    the reference)."""
+    ev = _t(_cfg(spark), sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).withColumn("cohort", F.lit("click_and_buy"))
+    only_click = clickers.subtract(buyers).withColumn(  # EXCEPT (set semantics)
+        "cohort", F.lit("click_no_buy")
+    )
+    return both.unionByName(only_click).select(
+        F.col("user_id").cast("long"), "cohort"
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag + running sum (guide pattern);
+    sessions per user with a 30-minute gap."""
+    ev = _t(_cfg(spark), sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    marked = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    return (
+        marked.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched with the user's latest signup
+    event at-or-before it (operator absent from Spark and the
+    reference; composed from union + window sweep)."""
+    from feature_engineering_poc_spark.functions.joins import asof_join
+
+    ev = _t(_cfg(spark), sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    out = asof_join(purchases, signups, on="ts", by="user_id",
+                    right_value_cols=["signup_event"])
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("signup_event_asof").cast("long").alias("signup_event"),
+    )
+
+
 # ------------------------------------------------------ text/documents
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,6 +624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": q_q5_local_supplier,
         "q14_promo_revenue": q_q14_promo_revenue,
         "json_props_stats": q_json_props_stats,
+        "rollup_revenue": q_rollup_revenue,
+        "set_ops_users": q_set_ops_users,
+        "sessionization": q_sessionization,
+        "asof_join": q_asof_join,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id_counts": q_lang_id_counts,
@@ -784,6 +858,48 @@ SELECT event_type,
        CAST(max(k) AS BIGINT) AS max_k
 FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
 GROUP BY event_type ORDER BY event_type
+""",
+        "rollup_revenue": """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (year(l_shipdate), month(l_shipdate))
+ORDER BY 1, 2
+""",
+        "set_ops_users": """
+WITH clickers AS (SELECT user_id FROM events WHERE event_type = 'click'),
+     buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST(user_id AS BIGINT) AS user_id, 'click_and_buy' AS cohort
+FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+UNION ALL
+SELECT CAST(user_id AS BIGINT), 'click_no_buy'
+FROM (SELECT DISTINCT user_id FROM clickers
+      EXCEPT SELECT DISTINCT user_id FROM buyers)
+""",
+        "sessionization": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events)
+) GROUP BY user_id ORDER BY user_id
+""",
+        "asof_join": """
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(s.event_id AS BIGINT) AS signup_event
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
 """,
         "text_stats": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
