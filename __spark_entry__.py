@@ -432,6 +432,13 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints per doc (exploded)."""
+    docs = _t(_cfg(spark), sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = text.with_winnow_fingerprints(docs, "text", "fps", k=8, w=16)
+    return out.select(F.col("doc_id").cast("long"), F.explode("fps").alias("fp"))
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(_cfg(spark), sf_dir, "documents").filter(F.col("doc_id") < 100)
     sig = dedup.minhash_signature(F.col("text"), k=8, n=3)
@@ -633,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": q_lang_id_counts,
         "fingerprint_dups": q_fingerprint_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_signatures": q_minhash_signatures,
         "simhash_signatures": q_simhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -939,6 +947,19 @@ SELECT md5({_NORM.format(t='text')}) AS fp,
 FROM raw GROUP BY 1 HAVING count(*) > 1
 """,
         "ngram_jaccard_dups": _sql_ngram_pairs(),
+        "winnow_fingerprints": f"""
+WITH docs AS (
+  SELECT doc_id, {_NORM.format(t='text')} AS norm FROM documents WHERE doc_id < 100
+), h AS (
+  SELECT doc_id, list_transform(range(greatest(length(norm) - 7, 1)),
+    i -> CAST(('0x' || substr(md5(substr(norm, i + 1, 8)), 1, 15))::UBIGINT AS BIGINT)
+  ) AS hs FROM docs
+), m AS (
+  SELECT doc_id, list_distinct(list_transform(range(greatest(len(hs) - 15, 1)),
+    j -> list_min(hs[j+1:j+16]))) AS fps FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(fps) AS fp FROM m
+""",
         "minhash_signatures": _sql_minhash(),
         "simhash_signatures": _sql_simhash(),
         "ann_topk": """

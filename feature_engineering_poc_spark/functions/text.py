@@ -104,3 +104,57 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (md5 evaluates identically in Spark and DuckDB → exact oracle)."""
     return F.md5(normalize_text(text))
+
+
+def gram_hashes(text: Column, k: int = 8) -> Column:
+    """Rolling char k-gram hash array: 60-bit md5-prefix hashes (the
+    SQL oracle reproduces them bit-exactly)."""
+    norm = normalize_text(text)
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, k)), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def winnow_from_hashes(w: int = 16):
+    """Winnow kernel: one minimum per sliding window of w hashes,
+    deduped + sorted — as an Arrow-batched pandas UDF.
+
+    Why not pure Column algebra: nested higher-order functions
+    (transform over slice+array_min) run INTERPRETED in Spark — no
+    whole-stage codegen — measured ~0.2 s/row; numpy's
+    sliding_window_view does the same work in microseconds. (Also:
+    never reference one big lambda expression inside another — Catalyst
+    inlines and re-evaluates it per element, an O(n²) blowup.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(hs):
+        out = []
+        for h in hs:
+            a = np.asarray(h, dtype=np.int64)
+            if len(a) <= w:
+                mins = a.min(keepdims=True)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(a, w).min(axis=1)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    # real annotation objects: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf can't resolve
+    kernel.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(kernel, "array<long>")
+
+
+def with_winnow_fingerprints(
+    df, text_col: str = "text", out_col: str = "fps", k: int = 8, w: int = 16
+):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    rolling k-gram hashes, one minimum per window of w — a
+    position-robust signature for near-dup detection. Hashing runs
+    JVM-side (md5 in codegen); the window-min sweep runs in numpy."""
+    staged = df.withColumn("_gram_hashes", gram_hashes(F.col(text_col), k))
+    kernel = winnow_from_hashes(w)
+    return staged.withColumn(out_col, kernel(F.col("_gram_hashes"))).drop("_gram_hashes")

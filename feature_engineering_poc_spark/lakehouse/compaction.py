@@ -77,7 +77,9 @@ def _rewrite_bins_distributed(
                 )
                 tbl = tbl.take(pc.sort_indices(tbl.column("doc_id")))
                 os.makedirs(os.path.dirname(spec["out"]), exist_ok=True)
-                pq.write_table(tbl, spec["out"], compression="snappy")
+                # zstd: compacted files are cold data — trade CPU (which
+                # scales with executors) for bytes (which cost forever)
+                pq.write_table(tbl, spec["out"], compression="zstd")
                 doc = tbl.column("doc_id")
                 ntk = tbl.column("n_tok")
                 out.append(

@@ -68,6 +68,23 @@ def test_fingerprint_normalization(spark):
     assert fps[1] != fps[3]
 
 
+def test_winnow_fingerprints(spark):
+    a = "the quick brown fox jumps over the lazy dog and then runs far away"
+    df = spark.createDataFrame(
+        [(1, a), (2, "PREFIX " + a), (3, "completely different content here okay"), (4, "")],
+        "id long, text string",
+    )
+    out = {r.id: set(r.fps) for r in text.with_winnow_fingerprints(df).collect()}
+    # position-robust: shifted copy shares most fingerprints
+    inter = len(out[1] & out[2])
+    assert inter / len(out[1]) > 0.6
+    assert len(out[1] & out[3]) == 0
+    assert len(out[4]) == 1  # empty text → single hash of ''
+    # deterministic
+    again = {r.id: set(r.fps) for r in text.with_winnow_fingerprints(df).collect()}
+    assert out == again
+
+
 def test_exact_duplicates(spark):
     df = spark.createDataFrame(
         [(1, "same text here"), (2, "Same   Text here!"), (3, "unique")],
