@@ -1,0 +1,68 @@
+"""Driver-contract smoke: entry() runs and the registry is consistent."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_flagship_pipeline(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.compact_scan_equal is True
+    assert r.rows_initial == 2000
+    assert r.rows_final == r.rows_initial + r.rows_inserted
+    assert r.files_pruned < r.files_total  # clustering bought pruning power
+
+
+def test_registry_consistency():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    # every oracle key must have a query
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle without query: {missing}"
+    # non-SQL-expressible ops are known and bounded
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "minhash_lsh_pairs", "simhash_near_dups", "ann_lsh_topk",
+        "lakehouse_compact", "lakehouse_merge", "lakehouse_cluster",
+        "multimodal_features",
+    }
+
+
+def test_asof_join_semantics(spark):
+    """Unit-level as-of join (also oracle-verified vs DuckDB ASOF JOIN)."""
+    from feature_engineering_poc_spark.functions.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u2", 50)],
+        "event_id int, user string, t int",
+    ).selectExpr("event_id", "user", "cast(t as timestamp) ts")
+    right = spark.createDataFrame(
+        [("u1", 100, 11), ("u1", 200, 12), ("u2", 60, 13)],
+        "user string, t int, version int",
+    ).selectExpr("user", "cast(t as timestamp) ts", "version")
+    out = {r.event_id: r.version_asof
+           for r in asof_join(left, right, on="ts", by="user",
+                              right_value_cols=["version"]).collect()}
+    assert out[1] == 11  # exact tie matches
+    assert out[2] == 12  # latest at-or-before
+    assert out[3] is None  # no prior right row
+
+
+def test_cluster_with_extra_bounds_column(spark, tmp_path):
+    """Clustering on a column without manifest stats exercises the
+    data-agg bounds path."""
+    from feature_engineering_poc_spark.lakehouse import (
+        assert_scan_equivalent,
+        write_token_table,
+    )
+    from feature_engineering_poc_spark.lakehouse.clustering import cluster
+
+    t = write_token_table(spark, tmp_path / "t", n_rows=800, files_per_source=2, max_tok=32)
+    r = cluster(spark, t, columns=("source", "n_tok"), curve="zorder",
+                target_file_bytes=1 << 20)
+    assert r["snapshot_id"] == 2
+    assert_scan_equivalent(t.scan(spark, 1), t.scan(spark))
