@@ -25,7 +25,6 @@ import time
 from pathlib import Path
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from .metadata import TokenTable, list_parquet_files
 from .stats import file_stats_df
