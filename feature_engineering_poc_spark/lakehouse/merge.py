@@ -134,6 +134,15 @@ def _merge(spark, table, manifest, src, parent, job_id, _fail_after_units):
         matched = spark.createDataFrame([], "doc_id string, file_path string").persist()
         touched_files = set()
 
+    # broadcast the source into the rewrite joins when it plausibly fits
+    # an executor (updates are usually ≪ table); estimated from the
+    # persisted source's own stats, not guessed
+    est = src.agg(
+        F.count("*").alias("n"), F.avg(F.coalesce("n_tok", F.lit(0))).alias("avg_tok")
+    ).collect()[0]
+    src_bytes_est = int((est.n or 0) * ((est.avg_tok or 0) * 4 + 64))
+    broadcast_src = src_bytes_est < 256 * 1024 * 1024
+
     # global matched-row counts — ONE small agg over the persisted probe
     # (per-unit counting would re-execute each unit's join: the range
     # repartition's sampling pass runs the plan twice)
@@ -154,15 +163,16 @@ def _merge(spark, table, manifest, src, parent, job_id, _fail_after_units):
 
     def run_rewrite_unit(part: str, files_p: list[str]) -> None:
         target_p = spark.read.schema(TOKEN_SCHEMA).parquet(*files_p)
+        src_side = src.select(
+            F.col("doc_id").alias("s_doc_id"),
+            F.col("tokens").alias("s_tokens"),
+            F.col("n_tok").alias("s_n_tok"),
+            F.col("_op").alias("s_op"),
+        )
+        if broadcast_src:
+            src_side = F.broadcast(src_side)
         joined = target_p.alias("t").join(
-            src.select(
-                F.col("doc_id").alias("s_doc_id"),
-                F.col("tokens").alias("s_tokens"),
-                F.col("n_tok").alias("s_n_tok"),
-                F.col("_op").alias("s_op"),
-            ),
-            F.col("t.doc_id") == F.col("s_doc_id"),
-            "left",
+            src_side, F.col("t.doc_id") == F.col("s_doc_id"), "left"
         )
         rewritten = (
             joined.filter((F.col("s_op").isNull()) | (F.col("s_op") != "delete"))
