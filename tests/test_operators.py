@@ -83,6 +83,31 @@ def test_one_hot_name_sanitization(spark):
     assert out.collect()[0].transaction_channel_UPIOTHER is True
 
 
+def test_channel_mode_category_deriver_defaults(spark):
+    # T4/T6/T7 default value lists (TransactionTransformers.scala:112,154,177)
+    df = spark.createDataFrame(
+        [("t1", "atm", "upi", "TRAVEL")],
+        "id string, transactionchannel string, transactionmode string, merchantcategory string",
+    )
+    out = get_transformer("TransactionCategoryDeriver")(
+        get_transformer("TransactionModeDeriver")(
+            get_transformer("TransactionChannelDeriver")(df)
+        )
+    )
+    row = out.collect()[0]
+    assert row.transaction_channel_ATM is True
+    assert row.transaction_channel_INTERNET_BANKING is False
+    assert row.transaction_mode_UPI is True and row.transaction_mode_CARD is False
+    assert row.transaction_category_TRAVEL is True
+    assert {
+        "transaction_channel_BRANCH", "transaction_channel_POS",
+        "transaction_channel_MOBILE_BANKING", "transaction_mode_CASH",
+        "transaction_mode_TRANSFER", "transaction_mode_CHEQUE",
+        "transaction_category_GROCERIES", "transaction_category_UTILITIES",
+        "transaction_category_ENTERTAINMENT", "transaction_category_HEALTHCARE",
+    } <= set(out.columns)
+
+
 def test_value_deriver_threshold(spark):
     df = spark.createDataFrame(
         [("t1", 1500.0), ("t2", 1000.0), ("t3", None)],
