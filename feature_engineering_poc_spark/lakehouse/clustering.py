@@ -117,13 +117,17 @@ def cluster(
     bits: int = 16,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     job_id: str | None = None,
+    partitions: list[str] | None = None,
     _fail_after_units: int | None = None,
 ) -> dict:
     if curve not in ("zorder", "hilbert"):
         raise ValueError(f"unknown curve: {curve}")
     parent = table.current_snapshot_id()
     manifest = table.manifest_df(spark)
-    entries = manifest.select("partition", "file_path", "file_bytes", "record_count").collect()
+    scoped = manifest
+    if partitions is not None:  # partition-scoped maintenance
+        scoped = scoped.filter(F.col("partition").isin(partitions))
+    entries = scoped.select("partition", "file_path", "file_bytes", "record_count").collect()
     by_part: dict[str, list] = defaultdict(list)
     for r in entries:
         by_part[r.partition].append(r)

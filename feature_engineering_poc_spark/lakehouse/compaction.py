@@ -111,6 +111,7 @@ def compact(
     small_file_threshold: int | None = None,
     job_id: str | None = None,
     mode: str = "binpack",
+    partitions: list[str] | None = None,
     _fail_after_units: int | None = None,
 ) -> dict:
     """Compact small files; returns a summary dict (snapshot_id=None if no-op).
@@ -132,11 +133,12 @@ def compact(
     # PLAN — metadata only. Candidate metadata is collected for driver
     # planning (same driver-side planning Iceberg's rewriteDataFiles does);
     # the full manifest is never collected.
-    candidates = (
-        manifest.filter(F.col("file_bytes") < threshold)
-        .select("partition", "file_path", "file_bytes", "record_count")
-        .collect()
-    )
+    cand_df = manifest.filter(F.col("file_bytes") < threshold)
+    if partitions is not None:  # partition-scoped maintenance
+        cand_df = cand_df.filter(F.col("partition").isin(partitions))
+    candidates = cand_df.select(
+        "partition", "file_path", "file_bytes", "record_count"
+    ).collect()
     by_part: dict[str, list] = defaultdict(list)
     for r in candidates:
         by_part[r.partition].append((r.file_path, r.file_bytes, r.record_count))

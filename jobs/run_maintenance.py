@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--duplicate-policy", default="error", choices=["error", "last"])
     ap.add_argument("--keep-last", type=int, default=None, help="expire retention")
     ap.add_argument("--snapshot", type=int, default=None, help="verify against snapshot")
+    ap.add_argument("--partitions", default=None,
+                    help="comma-separated partition scope for compact/cluster")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,12 +66,14 @@ def main(argv: list[str] | None = None) -> int:
         if not table.exists():
             raise FileNotFoundError(f"not a table root: {args.table}")
 
+        parts = args.partitions.split(",") if args.partitions else None
         if args.op == "compact":
             result = compact(spark, table, target_file_bytes=args.target_bytes,
-                             job_id=args.job_id)
+                             job_id=args.job_id, partitions=parts)
         elif args.op in ("cluster-zorder", "cluster-hilbert"):
             result = cluster(spark, table, curve=args.op.split("-")[1],
-                             target_file_bytes=args.target_bytes, job_id=args.job_id)
+                             target_file_bytes=args.target_bytes, job_id=args.job_id,
+                             partitions=parts)
         elif args.op == "merge":
             if not args.source_parquet:
                 raise ValueError("--source-parquet required for merge")

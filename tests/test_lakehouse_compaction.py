@@ -107,3 +107,18 @@ def test_determinism_same_seed_same_fingerprint(spark, tmp_path):
     c = scan_fingerprint(token_dataframe(spark, 500, seed=8, max_tok=64))
     assert (a.row_count, a.xor_hash) == (b.row_count, b.xor_hash)
     assert a.xor_hash != c.xor_hash
+
+
+def test_partition_scoped_compaction(spark, tmp_path):
+    from feature_engineering_poc_spark.lakehouse import write_token_table
+    t = write_token_table(spark, tmp_path / "scoped", n_rows=1000, files_per_source=4, max_tok=32)
+    pre = {r.partition: r.file_path for r in t.manifest_df(spark).collect()}
+    result = compact(spark, t, target_file_bytes=64 * 1024 * 1024, partitions=["web"])
+    assert result["snapshot_id"] == 2
+    m = t.manifest_df(spark).collect()
+    by_part = {}
+    for r in m:
+        by_part.setdefault(r.partition, []).append(r.file_path)
+    assert len(by_part["web"]) == 1  # compacted
+    assert len(by_part["books"]) == 4  # untouched
+    assert_scan_equivalent(t.scan(spark, 1), t.scan(spark))
