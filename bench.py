@@ -49,7 +49,7 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
 # scaling mode needs enough work that the parallel fraction dominates
 # the per-job driver overhead (Amdahl): the efficiency measurement is
 # meaningless when fixed job costs dominate
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "4000000"))
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
 # at sandbox data sizes the default 64MB targets collapse the rewrite
 # into fewer tasks than cores; 100TB tables never hit this (file count
@@ -183,7 +183,7 @@ def run_once(cpus: int, sf_dir: str, maintenance_only: bool = False,
     queries["cluster"] = maint["cluster_sec"]
     queries["merge_skewed"] = maint["merge_skewed_sec"]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    return {
+    out = {
         "metric": "suite_wall_sec",
         "value": total,
         "unit": "sec",
@@ -192,6 +192,10 @@ def run_once(cpus: int, sf_dir: str, maintenance_only: bool = False,
         "cpus": cpus,
         "maintenance": maint,
     }
+    scaling_file = Path(__file__).parent / "BENCH" / "scaling.json"
+    if scaling_file.exists():  # last committed --scaling measurement
+        out["scaling"] = json.loads(scaling_file.read_text())
+    return out
 
 
 def run_scaling(n_small: int = SCALING_N, reps: int = 2) -> dict:
@@ -294,6 +298,15 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling = run_scaling()
         write_baseline_md(scaling)
+        Path("BENCH").mkdir(exist_ok=True)
+        small, big = (scaling["results"][scaling["n_small"]]["maintenance"],
+                      scaling["results"][scaling["n_small"] * 4]["maintenance"])
+        Path("BENCH/scaling.json").write_text(json.dumps({
+            "n_cores": scaling["n_small"], "n4_cores": scaling["n_small"] * 4,
+            "rows": SCALING_ROWS, "efficiency": scaling["efficiency"],
+            "throughput_n": {op: small[f"{op}_rows_per_sec"] for op in ("compact", "merge", "cluster")},
+            "throughput_4n": {op: big[f"{op}_rows_per_sec"] for op in ("compact", "merge", "cluster")},
+        }, indent=1))
         print(json.dumps({"metric": "scaling_efficiency", "unit": "ratio",
                           "value": scaling["efficiency"], }))
     else:

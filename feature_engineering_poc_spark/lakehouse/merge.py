@@ -23,9 +23,11 @@ Scale shape:
    set + the matched-keys DataFrame (stays distributed; only the
    distinct file list is collected, as in Iceberg driver planning).
 3. REWRITE per partition unit (resumable, lineage-checkpointed): read
-   touched files, LEFT join deduped source on doc_id (AQE skew-join
-   on; explicit salted join when ``salt`` is set), apply
-   update/delete, write range-partitioned sorted output.
+   touched files, LEFT join deduped source on doc_id (broadcast when
+   the source's estimated size fits an executor; AQE skew-join covers
+   partition-level skew — key-level skew was already defused by the
+   salted dedupe), apply update/delete, write range-partitioned
+   sorted output.
 4. INSERT unit: source anti-join matched keys → new files per
    partition.
 5. COMMIT: manifest − touched files + rewritten + inserted; atomic
