@@ -198,7 +198,10 @@ def run_once(cpus: int, sf_dir: str, maintenance_only: bool = False,
     return out
 
 
-def run_scaling(n_small: int = SCALING_N, reps: int = 2) -> dict:
+def run_scaling(
+    n_small: int = SCALING_N,
+    reps: int = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2")),
+) -> dict:
     """Same maintenance job at N and 4N cores in fresh JVMs.
 
     Levels are INTERLEAVED and the best rep per level is kept — the
