@@ -206,3 +206,11 @@ def test_job_cli_end_to_end(spark, tmp_path, kv_parquet):
     back = spark.read.parquet(out_path)
     assert back.count() == 3
     assert {r.is_big for r in back.collect()} == {True, False}
+
+
+def test_sink_display(spark, capsys):
+    # K2 parity: show(n, truncate) with option defaults (JobRunner.scala:168-173)
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    write_sink(df, OutputSink(sink_type="display", options={"num_rows": 1}))
+    out = capsys.readouterr().out
+    assert "only showing top 1 row" in out and "k" in out
