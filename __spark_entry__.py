@@ -20,8 +20,12 @@ get the driver's rows-only check.
 
 from __future__ import annotations
 
+import sys
 import tempfile
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))  # repo-root import guard
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
