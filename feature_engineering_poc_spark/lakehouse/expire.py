@@ -117,10 +117,26 @@ def remove_orphans(
         for r in orphans_df.collect()
         if Path(r.file_path).exists() and os.path.getmtime(r.file_path) < cutoff
     ]
+    # Manifest dirs from commit attempts that crashed before publishing
+    # (commit() writes manifests to unique paths before the CAS): any
+    # metadata/manifest-* dir no snapshot references is debris.
+    live_manifests = {s["manifest"] for s in snaps if s.get("manifest")}
+    orphan_manifests = [
+        d
+        for d in sorted(table.meta_dir.glob("manifest-*"))
+        if d.is_dir()
+        and f"metadata/{d.name}" not in live_manifests
+        and os.path.getmtime(d) < cutoff
+    ]
     if not dry_run:
         for f in orphans:
             os.remove(f)
-    return {"orphans_deleted": len(orphans), "files_listed": len(listed)}
+        for d in orphan_manifests:
+            for p in sorted(d.rglob("*"), reverse=True):
+                p.unlink()
+            d.rmdir()
+    return {"orphans_deleted": len(orphans), "files_listed": len(listed),
+            "orphan_manifests_deleted": len(orphan_manifests)}
 
 
 def rewrite_manifests(spark: SparkSession, table: TokenTable) -> dict:

@@ -28,16 +28,29 @@ Scale shape:
    partition-level skew — key-level skew was already defused by the
    salted dedupe), apply update/delete, write range-partitioned
    sorted output.
-4. INSERT unit: source anti-join matched keys → new files per
-   partition.
+4. INSERT unit: source anti-join matched keys → ONE partitionBy write.
 5. COMMIT: manifest − touched files + rewritten + inserted; atomic
    snapshot swap. Old snapshots untouched (snapshot isolation).
+
+Serial driver cost (the Amdahl S term that caps scaling efficiency) is
+exactly TWO blocking aggregations before the rewrite fan-out:
+
+- one combined agg over the persisted source (key range + row count +
+  duplicate detection + broadcast-size estimate — previously four
+  separate jobs);
+- one grouped collect over the persisted probe join (touched-file set
+  AND per-op matched counts in the same result — previously two).
+
+The insert path is a single ``partitionBy`` write whose row count comes
+from the parquet footers the manifest needs anyway (previously a
+count job + a distinct-partitions job + one write per partition).
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,25 +68,25 @@ class DuplicateSourceKeys(ValueError):
 def _prepare_source(
     source_df: DataFrame, duplicate_policy: str, salt: int = 16
 ) -> DataFrame:
+    """Normalise source columns; dedupe under policy="last".
+
+    Under policy="error" the duplicate CHECK is deferred to the caller's
+    combined profile aggregation (count vs count_distinct) so it shares
+    a job with the key-range/size probe instead of running its own.
+    """
     cols = set(source_df.columns)
     if "_op" not in cols:
         source_df = source_df.withColumn("_op", F.lit("upsert"))
     if "_seq" not in source_df.columns:
         source_df = source_df.withColumn("_seq", F.lit(0).cast("long"))
     source_df = source_df.select("doc_id", "tokens", "n_tok", "source", "_op", "_seq")
-    if duplicate_policy == "error":
-        dup = source_df.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).collect()
-        if dup:
-            raise DuplicateSourceKeys(
-                f"source has duplicate doc_id (e.g. {dup[0]['doc_id']}); "
-                "pass duplicate_policy='last' to dedupe"
-            )
-        return source_df
     if duplicate_policy == "last":
         # salted two-phase agg — hot duplicate keys fan out before the
         # final per-key reduce (skew.py)
         return salted_latest_by_key(source_df, key="doc_id", order_col="_seq", salt=salt)
-    raise ValueError(f"unknown duplicate_policy: {duplicate_policy}")
+    if duplicate_policy != "error":
+        raise ValueError(f"unknown duplicate_policy: {duplicate_policy}")
+    return source_df
 
 
 def merge_into(
@@ -92,24 +105,43 @@ def merge_into(
     manifest = table.manifest_df(spark)
     src = _prepare_source(source_df, duplicate_policy, salt).persist()
     try:
-        return _merge(spark, table, manifest, src, parent, job_id, _fail_after_units)
+        return _merge(
+            spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_after_units
+        )
     finally:
         src.unpersist()
 
 
-def _merge(spark, table, manifest, src, parent, job_id, _fail_after_units):
-    log = LineageLog(table.root, job_id or f"merge-snap{parent}")
+def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_after_units):
+    job_tag = job_id or f"merge-snap{parent}"
+    log = LineageLog(table.root, job_tag)
     done = log.completed_units()
 
-    # 1. PRUNE — metadata only: files whose [min,max] doc_id range can
-    # contain any source key.
-    key_range = src.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]
-    if key_range.lo is None:  # empty source
+    # 1. PROFILE + PRUNE — ONE agg over the persisted source yields the
+    # key range (manifest pruning), the row count + avg token length
+    # (broadcast-size estimate), and — under policy="error" — the
+    # distinct-key count (SQL MERGE cardinality check). Collapsing these
+    # into one job is most of the merge's serial-term reduction.
+    aggs = [
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.count("*").alias("n"),
+        F.avg(F.coalesce("n_tok", F.lit(0))).alias("avg_tok"),
+    ]
+    if duplicate_policy == "error":
+        aggs.append(F.countDistinct("doc_id").alias("nd"))
+    prof = src.agg(*aggs).collect()[0]
+    if prof.lo is None:  # empty source
         return {"snapshot_id": None, "rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0}
+    if duplicate_policy == "error" and prof.nd != prof.n:
+        # rare failure path — only here do we spend a job finding an example
+        ex = src.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).collect()
+        raise DuplicateSourceKeys(
+            f"source has duplicate doc_id (e.g. {ex[0]['doc_id']}); "
+            "pass duplicate_policy='last' to dedupe"
+        )
     cand = manifest.filter(
-        (F.col("max_doc_id") >= key_range.lo) & (F.col("min_doc_id") <= key_range.hi)
+        (F.col("max_doc_id") >= prof.lo) & (F.col("min_doc_id") <= prof.hi)
     )
     cand_rows = cand.select("file_path", "partition").collect()
     cand_by_part: dict[str, list[str]] = defaultdict(list)
@@ -117,50 +149,47 @@ def _merge(spark, table, manifest, src, parent, job_id, _fail_after_units):
         cand_by_part[r.partition].append(r.file_path)
     cand_files = [r.file_path for r in cand_rows]
 
-    # 2. PROBE — column-pruned scan of candidates (doc_id only) to find
-    # exactly-touched files and the matched key set.
-    # source keys are UNIQUE here (dup policy ran in _prepare_source —
-    # key-level skew is defused there by the salted two-phase dedupe),
-    # so the probe join is a plain equi-join; AQE skew-join covers any
-    # residual partition-level skew.
-    src_keys = src.select("doc_id")
+    # broadcast the source into the rewrite joins when it plausibly fits
+    # an executor (updates are usually ≪ table); estimated from the
+    # profile agg above, not guessed
+    src_bytes_est = int((prof.n or 0) * ((prof.avg_tok or 0) * 4 + 64))
+    broadcast_src = src_bytes_est < 256 * 1024 * 1024
+
+    # 2. PROBE — column-pruned scan of candidates (doc_id only) joined
+    # to the source keys. ONE grouped collect returns both the
+    # exactly-touched file set (collect_set per op — file lists are
+    # driver-planning-sized, as in Iceberg) and the per-op matched-row
+    # counts (countDistinct dedupes a key probed in >1 file).
+    # Source keys are UNIQUE here (dup policy above), so the probe join
+    # is a plain equi-join; AQE skew-join covers residual
+    # partition-level skew.
     if cand_files:
         probe = (
             spark.read.schema(TOKEN_SCHEMA)
             .parquet(*cand_files)
             .select("doc_id", F.input_file_name().alias("file_path"))
         )
-        matched = probe.join(src_keys, "doc_id").persist()
-        touched_files = {r.file_path for r in matched.select("file_path").distinct().collect()}
+        matched = probe.join(src.select("doc_id", "_op"), "doc_id").persist()
     else:
-        matched = spark.createDataFrame([], "doc_id string, file_path string").persist()
-        touched_files = set()
-
-    # broadcast the source into the rewrite joins when it plausibly fits
-    # an executor (updates are usually ≪ table); estimated from the
-    # persisted source's own stats, not guessed
-    est = src.agg(
-        F.count("*").alias("n"), F.avg(F.coalesce("n_tok", F.lit(0))).alias("avg_tok")
-    ).collect()[0]
-    src_bytes_est = int((est.n or 0) * ((est.avg_tok or 0) * 4 + 64))
-    broadcast_src = src_bytes_est < 256 * 1024 * 1024
-
-    # global matched-row counts — ONE small agg over the persisted probe
-    # (per-unit counting would re-execute each unit's join: the range
-    # repartition's sampling pass runs the plan twice)
-    op_counts = {
-        r._op: r.n
-        for r in src.join(matched.select("doc_id").distinct(), "doc_id")
-        .groupBy("_op")
-        .agg(F.count("*").alias("n"))
+        matched = spark.createDataFrame(
+            [], "doc_id string, file_path string, _op string"
+        ).persist()
+    probe_rows = (
+        matched.groupBy("_op")
+        .agg(
+            F.countDistinct("doc_id").alias("n"),
+            F.collect_set("file_path").alias("files"),
+        )
         .collect()
-    }
+    )
+    touched_files = {f for r in probe_rows for f in r.files}
+    op_counts = {r._op: r.n for r in probe_rows}
     metrics = {
         "rows_updated": int(op_counts.get("upsert", 0)),
         "rows_deleted": int(op_counts.get("delete", 0)),
         "rows_inserted": 0,
     }
-    out_root = table.new_data_dir(f"merge-snap{parent}")
+    out_root = table.new_data_dir(job_tag)
     touched_norm = {_norm(t) for t in touched_files}
 
     def run_rewrite_unit(part: str, files_p: list[str]) -> None:
@@ -224,35 +253,37 @@ def _merge(spark, table, manifest, src, parent, job_id, _fail_after_units):
             for f in [ex.submit(run_rewrite_unit, p, fs) for p, fs in pending]:
                 f.result()
 
-    # 4. INSERT unit — not-matched upserts, routed per partition.
+    # 4. INSERT unit — not-matched upserts, ONE partitionBy write (the
+    # per-source routing happens inside the job, not in a driver loop).
+    # ``source`` is kept as a data column (scan() reads explicit file
+    # lists, which don't recover Hive-style dir values); the duplicated
+    # ``_part`` column only names the output directory. Row counts come
+    # from the footer-stats pass the manifest needs anyway — no count()
+    # job, and no second action over the repartitionByRange plan (its
+    # sampling pass would re-execute it).
     if "insert" not in done:
         inserts = (
             src.filter(F.col("_op") == "upsert")
-            .join(matched.select("doc_id").distinct(), "doc_id", "left_anti")
+            .join(matched.select("doc_id"), "doc_id", "left_anti")
             .select("doc_id", "tokens", "n_tok", "source")
         ).persist()
-        n_ins = inserts.count()
-        stats = []
-        if n_ins:
-            ins_dir = out_root / "_inserts"
-            parts = sorted(r.source for r in inserts.select("source").distinct().collect())
-
-            def write_ins(p: str) -> list[tuple[str, str]]:
-                d = ins_dir / p
-                (
-                    inserts.filter(F.col("source") == p)
-                    .repartitionByRange(max(1, spark.sparkContext.defaultParallelism // 4), "doc_id")
-                    .sortWithinPartitions("doc_id")
-                    .write.mode("overwrite")
-                    .parquet(str(d))
-                )
-                return [(f, p) for f in list_parquet_files(d)]
-
-            with ThreadPoolExecutor(max_workers=min(8, len(parts))) as ex:
-                pairs = [pr for fut in [ex.submit(write_ins, p) for p in parts]
-                         for pr in fut.result()]
-            stats = [r.asDict() for r in file_stats_df(spark, pairs).collect()]
+        ins_dir = out_root / "_inserts"
+        n_out = max(1, spark.sparkContext.defaultParallelism // 2)
+        (
+            inserts.withColumn("_part", F.col("source"))
+            .repartitionByRange(n_out, "source", "doc_id")
+            .sortWithinPartitions("source", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("_part")
+            .parquet(str(ins_dir))
+        )
         inserts.unpersist()
+        pairs = []
+        for d in sorted(ins_dir.glob("_part=*")):
+            part_val = unquote(d.name.split("=", 1)[1])
+            pairs.extend((f, part_val) for f in list_parquet_files(d))
+        stats = [r.asDict() for r in file_stats_df(spark, pairs).collect()]
+        n_ins = sum(s["record_count"] for s in stats)
         log.mark_unit_done("insert", files_in=[], new_manifest_rows=stats,
                            metrics={"rows_inserted": n_ins})
     matched.unpersist()

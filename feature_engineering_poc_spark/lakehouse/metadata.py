@@ -67,6 +67,18 @@ class SnapshotConflict(RuntimeError):
     """Raised when a commit loses the CAS race on the VERSION pointer."""
 
 
+# A commit's critical section is two metadata writes (~ms); a lock this
+# old belongs to a crashed process and is safe to break.
+LOCK_STALE_S = 30.0
+
+
+def _read_lock(lock: "Path") -> str:
+    try:
+        return lock.read_text().strip()
+    except OSError:
+        return "<unreadable>"
+
+
 class TokenTable:
     """Handle to one lakehouse table on a filesystem path."""
 
@@ -82,9 +94,6 @@ class TokenTable:
 
     def snapshot_path(self, snapshot_id: int) -> Path:
         return self.meta_dir / f"snap-{snapshot_id}.json"
-
-    def manifest_dir(self, snapshot_id: int) -> Path:
-        return self.meta_dir / f"manifest-{snapshot_id}"
 
     def new_data_dir(self, tag: str | None = None) -> Path:
         """A unique directory for one commit's new data files.
@@ -165,14 +174,17 @@ class TokenTable:
         return spark.read.schema(TOKEN_SCHEMA).parquet(*files)
 
     # ------------------------------------------------------ committing
-    def write_manifest(self, manifest_df: DataFrame, snapshot_id: int) -> str:
+    def write_manifest(self, manifest_df: DataFrame, tag: str) -> str:
         """Persist a manifest DataFrame for a snapshot-to-be.
 
         Written BY SPARK (distributed, multi-file) — the manifest of a
         10^12-sequence table is itself big data; nothing is collected
-        to the driver here.
+        to the driver here. ``tag`` must be UNIQUE per commit attempt
+        (id + uuid): manifests are written before the commit lock, so a
+        deterministic path would let the CAS loser clobber the winner's
+        published manifest.
         """
-        rel = f"metadata/manifest-{snapshot_id}"
+        rel = f"metadata/manifest-{tag}"
         (
             manifest_df.select([f.name for f in MANIFEST_SCHEMA.fields])
             .write.mode("overwrite")
@@ -196,8 +208,11 @@ class TokenTable:
         """
         expected_parent = self.current_snapshot_id() if parent_id is None else parent_id
         new_id = expected_parent + 1
-        # Write the heavyweight pieces before taking the lock.
-        manifest_rel = self.write_manifest(manifest_df, new_id)
+        # Write the heavyweight pieces before taking the lock, to a path
+        # UNIQUE to this attempt: racing writers from the same parent
+        # must not share manifest paths (the CAS loser would clobber the
+        # winner's committed manifest).
+        manifest_rel = self.write_manifest(manifest_df, f"{new_id}-{uuid.uuid4().hex[:8]}")
         snap = {
             "snapshot_id": new_id,
             "parent_id": expected_parent,
@@ -208,15 +223,30 @@ class TokenTable:
         }
         lock = self.meta_dir / "COMMIT.lock"
         fd = None
+        committed = False
         try:
             deadline = time.time() + 60
             while True:
                 try:
                     fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, f"pid={os.getpid()} ts={time.time():.3f}\n".encode())
                     break
                 except FileExistsError:
+                    # Break locks abandoned by a crashed committer: the
+                    # critical section is two tiny metadata writes, so a
+                    # lock older than LOCK_STALE_S has no live owner.
+                    try:
+                        if time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
+                            os.unlink(lock)
+                            continue
+                    except FileNotFoundError:
+                        continue
                     if time.time() > deadline:
-                        raise SnapshotConflict(f"commit lock held too long: {lock}")
+                        raise SnapshotConflict(
+                            f"commit lock held too long: {lock} "
+                            f"(contents: {_read_lock(lock)}; if the owner is dead, "
+                            f"delete the lock file manually)"
+                        )
                     time.sleep(0.05)
             if self.current_snapshot_id() != expected_parent:
                 raise SnapshotConflict(
@@ -225,10 +255,22 @@ class TokenTable:
                 )
             self.snapshot_path(new_id).write_text(json.dumps(snap, indent=1))
             _atomic_write(self.version_file, str(new_id))
+            committed = True
         finally:
             if fd is not None:
                 os.close(fd)
-                os.unlink(lock)
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+            if not committed:
+                # CAS loser: remove this attempt's orphan manifest so it
+                # can't be mistaken for live metadata.
+                mdir = self.root / manifest_rel
+                if mdir.is_dir():
+                    for p in sorted(mdir.rglob("*"), reverse=True):
+                        p.unlink()
+                    mdir.rmdir()
         return new_id
 
 

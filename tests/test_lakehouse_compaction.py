@@ -99,6 +99,40 @@ def test_commit_cas_conflict(spark, tmp_path):
         t.commit(m, operation="touch", parent_id=stale_parent)
 
 
+def test_cas_loser_does_not_clobber_winner_manifest(spark, tmp_path):
+    """Manifests live at unique paths: a loser racing from the same
+    parent must leave the winner's committed manifest intact and clean
+    up its own orphan."""
+    t = write_token_table(spark, tmp_path / "t3", n_rows=200, files_per_source=2, max_tok=32)
+    m = t.manifest_df(spark)
+    parent = t.current_snapshot_id()
+    win_id = t.commit(m, operation="touch", parent_id=parent)
+    winner_manifest = t.root / t.snapshot(win_id)["manifest"]
+    winner_files = sorted(p.name for p in winner_manifest.rglob("*.parquet"))
+    with pytest.raises(SnapshotConflict):
+        t.commit(m.limit(1), operation="touch", parent_id=parent)
+    # winner's manifest untouched, still readable, scan unchanged
+    assert sorted(p.name for p in winner_manifest.rglob("*.parquet")) == winner_files
+    assert t.manifest_df(spark).count() == m.count()
+    # loser's orphan manifest cleaned up: every manifest dir on disk is
+    # referenced by some snapshot
+    live = {s["manifest"] for s in t.snapshots() if s.get("manifest")}
+    on_disk = {f"metadata/{d.name}" for d in t.meta_dir.glob("manifest-*") if d.is_dir()}
+    assert on_disk <= live
+
+
+def test_commit_breaks_stale_lock(spark, tmp_path, monkeypatch):
+    from feature_engineering_poc_spark.lakehouse import metadata as md
+
+    t = write_token_table(spark, tmp_path / "t4", n_rows=200, files_per_source=2, max_tok=32)
+    lock = t.meta_dir / "COMMIT.lock"
+    lock.write_text("pid=999999 ts=0")  # abandoned by a dead process
+    monkeypatch.setattr(md, "LOCK_STALE_S", 0.0)
+    sid = t.commit(t.manifest_df(spark), operation="touch")
+    assert sid == t.current_snapshot_id()
+    assert not lock.exists()
+
+
 def test_determinism_same_seed_same_fingerprint(spark, tmp_path):
     from feature_engineering_poc_spark.lakehouse.generator import token_dataframe
 
