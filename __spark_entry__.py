@@ -13,9 +13,11 @@
                      ratios as integer permille, scores dropped or
                      quantized — so value hashes match bit-for-bit.
 
-Non-SQL-expressible ops (lakehouse maintenance, LSH ANN, multimodal
-UDF plumbing, MinHash-LSH banding pipeline) have no oracle entry and
-get the driver's rows-only check.
+Non-SQL-expressible ops (lakehouse maintenance, seeded-random LSH ANN,
+multimodal UDF plumbing) have no oracle entry and get the driver's
+rows-only check. The md5-deterministic MinHash-LSH and SimHash pair
+pipelines DO have exact DuckDB twins (banding is slicing + md5 / bit
+arithmetic).
 """
 
 from __future__ import annotations
@@ -34,6 +36,11 @@ from feature_engineering_poc_spark.functions import dedup, similarity, text
 from feature_engineering_poc_spark.functions.text import LANG_STOPWORDS
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+# Deterministic categorical domains for the T4/T6/T7 one-hot parity
+# queries (reference defaults, TransactionTransformers.scala:108-187).
+CHANNELS = ["BRANCH", "ATM", "POS", "INTERNET_BANKING", "MOBILE_BANKING"]
+MODES = ["CARD", "CASH", "TRANSFER", "UPI", "CHEQUE"]
+CATEGORIES = ["GROCERIES", "UTILITIES", "ENTERTAINMENT", "TRAVEL", "HEALTHCARE"]
 
 
 def _cfg(spark: SparkSession) -> SparkSession:
@@ -151,6 +158,65 @@ def q_t3_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("event_id").cast("long"),
         *[F.col(f"et_{v.upper()}") for v in EVENT_TYPES],
+    )
+
+
+def _pick(values: list[str], idx: F.Column) -> F.Column:
+    """Deterministic categorical value from an integer expression."""
+    return F.element_at(
+        F.array(*[F.lit(v) for v in values]), (idx % len(values) + 1).cast("int")
+    )
+
+
+def q_t4_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 parity (TransactionTransformers.scala:108-122): channel one-hot;
+    odd event_ids carry a lower-cased raw value to exercise the
+    deriver's case normalization."""
+    from feature_engineering_poc_spark.operators import TransactionChannelDeriver
+
+    ev = _t(_cfg(spark), sf_dir, "events")
+    chan = _pick(CHANNELS, F.col("user_id"))
+    ev = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 1, F.lower(chan)).otherwise(chan)
+        .alias("transactionchannel"),
+    )
+    out = TransactionChannelDeriver({"channel_values": CHANNELS})(ev)
+    return out.select(
+        F.col("event_id").cast("long"),
+        *[F.col(f"transaction_channel_{v}") for v in CHANNELS],
+    )
+
+
+def q_t6_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 parity (TransactionTransformers.scala:150-164): mode one-hot."""
+    from feature_engineering_poc_spark.operators import TransactionModeDeriver
+
+    ev = _t(_cfg(spark), sf_dir, "events")
+    mode = _pick(MODES, F.col("event_id"))
+    ev = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 3 == 0, F.lower(mode)).otherwise(mode)
+        .alias("transactionmode"),
+    )
+    out = TransactionModeDeriver({"mode_values": MODES})(ev)
+    return out.select(
+        F.col("event_id").cast("long"),
+        *[F.col(f"transaction_mode_{v}") for v in MODES],
+    )
+
+
+def q_t7_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 parity (TransactionTransformers.scala:173-187): category one-hot."""
+    from feature_engineering_poc_spark.operators import TransactionCategoryDeriver
+
+    ev = _t(_cfg(spark), sf_dir, "events")
+    cat = _pick(CATEGORIES, F.col("user_id") + F.col("event_id"))
+    ev = ev.select("event_id", cat.alias("merchantcategory"))
+    out = TransactionCategoryDeriver({"category_values": CATEGORIES})(ev)
+    return out.select(
+        F.col("event_id").cast("long"),
+        *[F.col(f"transaction_category_{v}") for v in CATEGORIES],
     )
 
 
@@ -626,6 +692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_indicator": q_t1_indicator,
         "t2_datetime": q_t2_datetime,
         "t3_onehot": q_t3_onehot,
+        "t4_channel": q_t4_channel,
+        "t6_mode": q_t6_mode,
+        "t7_category": q_t7_category,
         "t5_high_value": q_t5_high_value,
         "t8_rolling_window": q_t8_rolling_window,
         "t9_monthly_count": q_t9_monthly_count,
@@ -697,13 +766,18 @@ def _sql_shingles(n: int) -> str:
     )
 
 
-def _sql_simhash() -> str:
+def _sql_simhash_exprs() -> tuple[str, str]:
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(60)
     )
     recomb = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(60)
     )
+    return votes, recomb
+
+
+def _sql_simhash() -> str:
+    votes, recomb = _sql_simhash_exprs()
     return f"""
 WITH docs AS (
   SELECT doc_id, {_NORM.format(t='text')} AS norm FROM documents WHERE doc_id < 100
@@ -743,8 +817,12 @@ WITH raw AS (
   SELECT id, {_NORM.format(t='text')} AS norm FROM raw
 ), shingled AS (
   SELECT id, {_sql_shingles(3)} AS sh FROM docs
-), ex AS (
+), ex_all AS (
   SELECT id, unnest(sh) AS s FROM shingled
+), hot AS (  -- mirror of max_shingle_df=1000 (dedup.ngram_jaccard_pairs)
+  SELECT s FROM ex_all GROUP BY s HAVING count(*) > 1000
+), ex AS (
+  SELECT ex_all.id, ex_all.s FROM ex_all ANTI JOIN hot USING (s)
 ), sizes AS (
   SELECT id, count(*) AS sz FROM ex GROUP BY id
 ), pairs AS (
@@ -758,6 +836,78 @@ FROM pairs
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE inter_size * 1.0 / (sa.sz + sb.sz - inter_size) >= 0.5
+"""
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    """Twin of dedup.minhash_lsh_pairs(k=16, bands=8, n=3, verify=0.5):
+    md5-min signatures → 8 bands of 2 → same-bucket candidates →
+    candidate-restricted exact Jaccard via list_intersect."""
+    sig = (
+        "list_transform(range(16), i -> "
+        "list_min(list_transform(sh, s -> md5(s || '#' || CAST(i AS VARCHAR)))))"
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz' FROM documents WHERE doc_id < 20
+), docs AS (
+  SELECT id, {_NORM.format(t='text')} AS norm FROM raw
+), shingled AS (
+  SELECT id, {_sql_shingles(3)} AS sh FROM docs
+), sigs AS (
+  SELECT id, {sig} AS sig FROM shingled
+), banded AS (
+  SELECT id, bd, md5(array_to_string(sig[(bd*2+1):(bd*2+2)], ',')) AS bkey
+  FROM sigs, (SELECT unnest(range(8)) AS bd)
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM banded x JOIN banded y USING (bd, bkey) WHERE x.id < y.id
+), scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter_size,
+         CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
+           - CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS union_size
+  FROM cand
+  JOIN shingled sa ON sa.id = id_a
+  JOIN shingled sb ON sb.id = id_b
+)
+SELECT id_a, id_b,
+       CAST(round(100.0 * inter_size / union_size) AS BIGINT) AS jaccard_pct
+FROM scored WHERE inter_size * 1.0 / union_size >= 0.5
+"""
+
+
+def _sql_simhash_pairs() -> str:
+    """Twin of dedup.simhash_near_dup_pairs(max_hamming=6, band_bits=15):
+    60-bit simhash → 4 15-bit bands → same-band candidates →
+    bit_count(xor) Hamming verify."""
+    votes, recomb = _sql_simhash_exprs()
+    return f"""
+WITH raw AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz' FROM documents WHERE doc_id < 10
+), docs AS (
+  SELECT id, {_NORM.format(t='text')} AS norm FROM raw
+), words AS (
+  SELECT id, unnest(string_split(norm, ' ')) AS w FROM docs
+), hashed AS (
+  SELECT id, CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT AS BIGINT) AS h FROM words
+), votes AS (
+  SELECT id, {votes} FROM hashed GROUP BY id
+), sigs AS (
+  SELECT id, ({recomb}) AS sh60 FROM votes
+), banded AS (
+  SELECT id, sh60, bd, (sh60 >> (bd*15)) & 32767 AS bval
+  FROM sigs, (SELECT unnest(range(4)) AS bd)
+), pairs AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         CAST(bit_count(xor(x.sh60, y.sh60)) AS BIGINT) AS hamming
+  FROM banded x JOIN banded y USING (bd, bval) WHERE x.id < y.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
 """
 
 
@@ -794,6 +944,22 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
 FROM events
 """,
         "t3_onehot": f"SELECT CAST(event_id AS BIGINT) AS event_id, {et_flags} FROM events",
+        "t4_channel": "SELECT CAST(event_id AS BIGINT) AS event_id, "
+        + ", ".join(
+            f"user_id % 5 = {i} AS transaction_channel_{v}" for i, v in enumerate(CHANNELS)
+        )
+        + " FROM events",
+        "t6_mode": "SELECT CAST(event_id AS BIGINT) AS event_id, "
+        + ", ".join(
+            f"event_id % 5 = {i} AS transaction_mode_{v}" for i, v in enumerate(MODES)
+        )
+        + " FROM events",
+        "t7_category": "SELECT CAST(event_id AS BIGINT) AS event_id, "
+        + ", ".join(
+            f"(user_id + event_id) % 5 = {i} AS transaction_category_{v}"
+            for i, v in enumerate(CATEGORIES)
+        )
+        + " FROM events",
         "t5_high_value": """
 SELECT CAST(event_id AS BIGINT) AS event_id, value > 50.0 AS is_high_value FROM events
 """,
@@ -966,6 +1132,8 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(fps) AS fp FROM m
 """,
         "minhash_signatures": _sql_minhash(),
         "simhash_signatures": _sql_simhash(),
+        "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+        "simhash_near_dups": _sql_simhash_pairs(),
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
 s AS (SELECT q.query_id, e.vec_id,

@@ -63,16 +63,36 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     Inverted-index join: |A∩B| = number of co-occurring distinct
     shingles; |A∪B| = |A| + |B| − |A∩B|. Returns
     (id_a, id_b, inter_size, union_size, jaccard_pct) with id_a < id_b.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds
+    the cap BEFORE the self-join (sizes are computed over the same
+    reduced shingle universe, so Jaccard stays internally consistent).
+    Without it, one corpus-wide stop-phrase shingle shared by k docs
+    emits k²/2 join rows into a single bucket — the classic inverted-
+    index blowup. High-DF shingles carry almost no signal for
+    Jaccard ≥ 0.5 decisions. None disables the cap (exact semantics
+    over all shingles).
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        # heavy hitters are few under any realistic (zipfian) corpus;
+        # AQE turns this into a broadcast anti-join at runtime
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("a")
@@ -149,9 +169,26 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    verified = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
-    return cand.join(verified, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "inter_size", "union_size", "jaccard_pct"
+    # Verify CANDIDATES ONLY — the whole point of banding is that exact
+    # Jaccard runs per bucket-mate pair, never over the full corpus pair
+    # space. Join the (id_a, id_b) candidates to each side's shingle
+    # array and score with array_intersect; cost is O(candidates), and
+    # the plan contains no full-table pair enumeration.
+    sh_arr = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    return (
+        cand.join(sh_arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_arr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter_size", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "union_size",
+            (F.size("sh_a") + F.size("sh_b")).cast("long") - F.col("inter_size"),
+        )
+        .withColumn(
+            "jaccard_pct",
+            F.round(F.lit(100.0) * F.col("inter_size") / F.col("union_size")).cast("int"),
+        )
+        .filter(F.col("inter_size") / F.col("union_size") >= verify_threshold)
+        .select("id_a", "id_b", "inter_size", "union_size", "jaccard_pct")
     )
 
 

@@ -107,6 +107,37 @@ def test_ngram_jaccard_pairs_identical_and_disjoint(spark):
     assert (p.id_a, p.id_b, p.jaccard_pct) == (1, 2, 100)
 
 
+def test_ngram_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    """A corpus-wide common phrase must not explode the inverted-index
+    join: with the DF cap it contributes no pairs, while true dups
+    (sharing RARE shingles) are still found."""
+    stop = "the quick brown fox jumps over the lazy dog again"  # shared by all
+    uniq = [f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f" for i in range(30)]
+    rows = [(i, f"{uniq[i]} {stop}") for i in range(30)]
+    rows.append((999, f"{uniq[0]} {stop}"))  # true dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_shingle_df=5).collect()
+    # only the planted dup survives; the stop-phrase's 31*30/2 co-pairs are gone
+    assert {(p.id_a, p.id_b) for p in capped} == {(0, 999)}
+    # and the capped Jaccard is over the reduced universe: identical docs → 100
+    assert capped[0].jaccard_pct == 100
+    # sanity: uncapped finds the same dup (plus stop-phrase noise pairs are
+    # below threshold here, but the pair-space it enumerates is larger)
+    exact = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_shingle_df=None).collect()
+    assert (0, 999) in {(p.id_a, p.id_b) for p in exact}
+
+
+def test_minhash_lsh_verify_is_candidate_restricted(spark, docs):
+    """The verify stage must score ONLY bucket-mate candidates — the
+    optimized plan may not contain the inverted-index shingle self-join
+    (that full-corpus pair enumeration is what LSH exists to avoid)."""
+    df = docs.limit(40).select("doc_id", "text")
+    out = dedup.minhash_lsh_pairs(df, k=16, bands=8, n=3, verify_threshold=0.5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "shingle" not in plan  # exploded inverted-index column absent
+    assert "array_intersect" in plan  # per-candidate scoring present
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     base = docs.limit(50)
     # plant a near-duplicate of doc 0 (one word changed)
