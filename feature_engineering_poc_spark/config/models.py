@@ -84,22 +84,40 @@ class FeatureTransformerConfig:
 
 @dataclass
 class OutputSink:
-    """sink_type + path/mode/options/partition_by (Models.scala:115-132)."""
+    """sink_type + path/mode/options/partition_by (Models.scala:113-136).
 
-    sink_type: str
+    The reference nests the params under ``output_sink.config``
+    (OutputSinkConfig/OutputSinkParams) and defaults sink_type to
+    "display"; both the nested and the flat form parse here.
+    """
+
+    sink_type: str = "display"  # OutputSinkConfig default, Models.scala:130
     path: str | None = None
     mode: str = "overwrite"  # default mode, JobRunner.scala:139
     options: dict = field(default_factory=dict)
     partition_by: list[str] = field(default_factory=list)
 
     @classmethod
-    def from_dict(cls, d: dict) -> "OutputSink":
+    def from_dict(cls, d: dict | None) -> "OutputSink":
+        d = d or {}
+        cfg = d.get("config") or {}
+
+        def pick(key, default=None):
+            return cfg.get(key, d.get(key, default))
+
+        options = dict(pick("options") or {})
+        # num_rows/truncate are first-class OutputSinkParams fields in
+        # the reference (Models.scala:116-117); carry them via options.
+        for k in ("num_rows", "truncate"):
+            v = pick(k)
+            if v is not None and k not in options:
+                options[k] = v
         return cls(
-            sink_type=_req(d, "sink_type", "output sink"),
-            path=d.get("path") or d.get("location"),
-            mode=d.get("mode", "overwrite"),
-            options=d.get("options") or {},
-            partition_by=d.get("partition_by") or [],
+            sink_type=d.get("sink_type") or "display",
+            path=pick("path") or pick("location"),
+            mode=pick("mode") or "overwrite",
+            options=options,
+            partition_by=pick("partition_by") or [],
         )
 
 
@@ -130,12 +148,15 @@ class JobConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "JobConfig":
+        # Circe-decoder parity (Models.scala:141-147): input_source is
+        # the only required field; feature_transformers defaults to []
+        # and output_sink to a display sink.
         return cls(
             input_source=InputSource.from_dict(_req(d, "input_source", "job config")),
             feature_transformers=[
                 FeatureTransformerConfig.from_dict(t)
-                for t in _req(d, "feature_transformers", "job config")
+                for t in d.get("feature_transformers") or []
             ],
-            output_sink=OutputSink.from_dict(_req(d, "output_sink", "job config")),
+            output_sink=OutputSink.from_dict(d.get("output_sink")),
             job_name=d.get("job_name"),
         )

@@ -26,9 +26,13 @@ def asof_join(
     prior right row exists).
 
     Plan shape: tag both sides, union, window ``last(value, ignorenulls)
-    OVER (PARTITION BY by ORDER BY on, side)`` — right rows sort before
-    left rows at equal timestamps so exact-tie matches are included.
-    One hash exchange; scales like any windowed aggregation.
+    OVER (PARTITION BY by ORDER BY on, side, value-tuple)`` — right rows
+    sort before left rows at equal timestamps so exact-tie matches are
+    included. When multiple RIGHT rows share the same (by, on), the one
+    with the greatest value tuple wins — a deterministic tie-break
+    (plan- and engine-independent) instead of whatever row the window
+    happened to see last. One hash exchange; scales like any windowed
+    aggregation.
     """
     value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, by)
@@ -47,7 +51,14 @@ def asof_join(
     )
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(on).asc(),
+            F.col("_side").asc(),
+            # deterministic tie-break among right rows at equal `on`
+            # (left rows are separated by _side, so their null value
+            # columns never interleave with right rows here)
+            *[F.col(f"_r_{c}").asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     swept = l_tag.unionByName(r_tag).select(

@@ -41,7 +41,10 @@ def write_sink(df: DataFrame, sink: OutputSink, strict: bool = True) -> None:
         writer.save(sink.path)
     elif st == "display":
         n = int(sink.options.get("num_rows", 20))
-        truncate = bool(sink.options.get("truncate", True))
+        # string option values follow the JobRunner coercion cascade:
+        # bool("false") would silently invert the setting
+        tv = sink.options.get("truncate", True)
+        truncate = tv.lower() == "true" if isinstance(tv, str) else bool(tv)
         df.show(n, truncate)
     elif strict:
         raise ValueError(f"unsupported sink type: {sink.sink_type}")

@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
                 f"{job.input_source.version}) not found in catalog"
             )
         df = read_source(spark, src)
+        # load_params.filter_condition (sample_job_config.json): declared
+        # but never consumed by the reference runner — made real here as
+        # a post-read predicate, so Catalyst pushes it into the scan.
+        cond = job.input_source.load_params.get("filter_condition")
+        if cond:
+            df = df.filter(cond)
         df = run_pipeline(
             df, [{"name": t.name, "params": t.params} for t in job.feature_transformers]
         )

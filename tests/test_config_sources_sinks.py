@@ -45,9 +45,34 @@ def test_load_valid_job_config(tmp_path):
 
 def test_job_config_missing_required_field(tmp_path):
     p = tmp_path / "bad.json"
-    p.write_text(json.dumps({"input_source": {"name": "x"}}))
-    with pytest.raises(ConfigDecodeError, match="feature_transformers"):
+    p.write_text(json.dumps({"feature_transformers": []}))
+    with pytest.raises(ConfigDecodeError, match="input_source"):
         load_job_config(p)
+
+
+def test_job_config_circe_defaults(tmp_path):
+    """Models.scala:141-147: only input_source is required; transformers
+    default to [] and the sink to display."""
+    p = tmp_path / "min.json"
+    p.write_text(json.dumps({"input_source": {"name": "x"}}))
+    job = load_job_config(p)
+    assert job.feature_transformers == []
+    assert job.output_sink.sink_type == "display"
+
+
+def test_output_sink_nested_reference_form():
+    """The reference nests params under output_sink.config
+    (sample_job_config.json / Models.scala OutputSinkConfig)."""
+    sink = OutputSink.from_dict({
+        "sink_type": "delta_table",
+        "config": {
+            "path": "/mnt/x", "mode": "append", "num_rows": 50,
+            "partition_by": ["country_code"], "options": {"mergeSchema": "true"},
+        },
+    })
+    assert sink.path == "/mnt/x" and sink.mode == "append"
+    assert sink.partition_by == ["country_code"]
+    assert sink.options["mergeSchema"] == "true" and sink.options["num_rows"] == 50
 
 
 def test_job_config_malformed_json(tmp_path):
@@ -214,3 +239,41 @@ def test_sink_display(spark, capsys):
     write_sink(df, OutputSink(sink_type="display", options={"num_rows": 1}))
     out = capsys.readouterr().out
     assert "only showing top 1 row" in out and "k" in out
+
+
+def test_sink_display_string_truncate_false(spark, capsys):
+    # 'false' as a STRING option must not truncate (bool('false') is True)
+    wide = spark.createDataFrame([("x" * 40,)], "k string")
+    write_sink(wide, OutputSink(sink_type="display",
+                                options={"num_rows": 1, "truncate": "false"}))
+    out = capsys.readouterr().out
+    assert "x" * 40 in out  # full value shown, not 'xxxxxxxxxxxxxxxxx...'
+
+
+def test_job_cli_filter_condition(spark, tmp_path, kv_parquet):
+    """load_params.filter_condition (sample_job_config.json) is applied
+    as a post-read predicate."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_job
+
+    catalog = tmp_path / "catalog"
+    catalog.mkdir()
+    (catalog / "txn.json").write_text(json.dumps({
+        "name": "txns", "version": "1", "type": "parquet", "location": kv_parquet,
+    }))
+    out_path = str(tmp_path / "filtered_out")
+    job = {
+        "input_source": {"name": "txns", "version": "1",
+                         "load_params": {"filter_condition": "value > 15.0"}},
+        "feature_transformers": [],
+        "output_sink": {"sink_type": "parquet",
+                        "config": {"path": out_path, "mode": "overwrite"}},
+    }
+    jp = tmp_path / "job.json"
+    jp.write_text(json.dumps(job))
+    rc = run_job.main(["--job-config", str(jp), "--source-catalog", str(catalog),
+                       "--parallelism", "8"])
+    assert rc == 0
+    back = spark.read.parquet(out_path)
+    assert back.count() == 2  # rows 20.0 and 30.5; 10.5 filtered out

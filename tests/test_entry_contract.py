@@ -26,7 +26,7 @@ def test_registry_consistency():
     # non-SQL-expressible ops are known and bounded
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "minhash_lsh_pairs", "simhash_near_dups", "ann_lsh_topk",
+        "ann_lsh_topk",  # seeded-random hyperplane buckets
         "lakehouse_compact", "lakehouse_merge", "lakehouse_cluster",
         "multimodal_features",
     }
@@ -50,6 +50,23 @@ def test_asof_join_semantics(spark):
     assert out[1] == 11  # exact tie matches
     assert out[2] == 12  # latest at-or-before
     assert out[3] is None  # no prior right row
+
+
+def test_asof_join_deterministic_on_right_ties(spark):
+    """Multiple right rows at the SAME (by, on): the greatest value
+    tuple wins, identically on every run/partitioning."""
+    from feature_engineering_poc_spark.functions.joins import asof_join
+
+    left = spark.createDataFrame([(1, "u1", 100)], "event_id int, user string, t int") \
+        .selectExpr("event_id", "user", "cast(t as timestamp) ts")
+    right = spark.createDataFrame(
+        [("u1", 100, 7), ("u1", 100, 9), ("u1", 100, 8)],
+        "user string, t int, version int",
+    ).selectExpr("user", "cast(t as timestamp) ts", "version")
+    for n_part in (1, 4):
+        out = asof_join(left, right.repartition(n_part), on="ts", by="user",
+                        right_value_cols=["version"]).collect()
+        assert out[0].version_asof == 9
 
 
 def test_cluster_with_extra_bounds_column(spark, tmp_path):
