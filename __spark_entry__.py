@@ -98,6 +98,23 @@ def entry(spark: SparkSession) -> DataFrame:
     files_pruned = prune_files(manifest, n_tok_range=(8, 16)).count()
     fp_final = scan_fingerprint(table.scan(spark))
 
+    # MERGE verification by construction: the expected post-merge state
+    # is (pre-merge rows minus updated keys) ∪ updated-new ∪ inserts —
+    # `tgt` is pinned to the pre-merge file set, and both updates and
+    # inserts are deterministic, so this recomputes independently of the
+    # merge path it checks. Clustering is scan-equivalent, so comparing
+    # against fp_final also re-proves the cluster rewrite.
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    expected = (
+        tgt.join(updates.select("doc_id"), "doc_id", "left_anti").select(*cols)
+        .unionByName(updates.select(*cols))
+        .unionByName(inserts.select(*cols))
+    )
+    fp_expected = scan_fingerprint(expected)
+    merge_scan_equal = (fp_expected.row_count, fp_expected.xor_hash) == (
+        fp_final.row_count, fp_final.xor_hash,
+    )
+
     return spark.createDataFrame(
         [
             (
@@ -106,6 +123,7 @@ def entry(spark: SparkSession) -> DataFrame:
                 int(fp1.row_count),
                 int(fp_final.row_count),
                 bool(fp0.xor_hash == fp1.xor_hash),
+                bool(merge_scan_equal),
                 int(c["files_compacted"]),
                 int(m["rows_updated"]),
                 int(m["rows_inserted"]),
@@ -115,8 +133,9 @@ def entry(spark: SparkSession) -> DataFrame:
             )
         ],
         "stage string, rows_initial long, rows_after_compact long, rows_final long, "
-        "compact_scan_equal boolean, files_compacted long, rows_updated long, "
-        "rows_inserted long, cluster_files long, files_pruned long, files_total long",
+        "compact_scan_equal boolean, merge_scan_equal boolean, files_compacted long, "
+        "rows_updated long, rows_inserted long, cluster_files long, files_pruned long, "
+        "files_total long",
     )
 
 

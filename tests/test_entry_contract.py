@@ -11,6 +11,7 @@ def test_entry_flagship_pipeline(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.compact_scan_equal is True
+    assert r.merge_scan_equal is True
     assert r.rows_initial == 2000
     assert r.rows_final == r.rows_initial + r.rows_inserted
     assert r.files_pruned < r.files_total  # clustering bought pruning power
