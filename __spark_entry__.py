@@ -371,6 +371,110 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(f"v_{n}")
+
+
+def q_q2_max_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style correlated scalar subquery: suppliers whose
+    account balance is their nation's maximum. Catalyst decorrelates
+    this into an aggregate + join — no per-row re-execution."""
+    _views(_cfg(spark), sf_dir, "supplier", "nation")
+    return spark.sql("""
+        SELECT s_name, n_name,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM v_supplier JOIN v_nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM v_supplier s2
+                           WHERE s2.s_nationkey = v_supplier.s_nationkey)
+    """)
+
+
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS subquery: order-priority counts for orders
+    with at least one high-discount line. Catalyst plans the EXISTS as
+    a left-semi hash join on l_orderkey."""
+    _views(_cfg(spark), sf_dir, "orders", "lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations by year.
+    Dimension joins (supplier/customer/nation) are broadcast; the
+    lineitem⋈orders join shuffles on orderkey."""
+    spark = _cfg(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("volume_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit (revenue − 60% retail cost proxy; the
+    testdata has no partsupp) by supplier nation and year, for parts
+    matching a name pattern. Filter pushes to the part scan; part and
+    nation broadcast into lineitem."""
+    spark = _cfg(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(profit).alias("profit_cents"))
+        .orderBy("n_name", "l_year")
+    )
+
+
+def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style NOT EXISTS: positive-balance customers who never
+    placed a >450k order, by market segment. Planned as a left-anti
+    join on the filtered orders side."""
+    _views(_cfg(spark), sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        FROM v_customer
+        WHERE c_acctbal > 0
+          AND NOT EXISTS (SELECT 1 FROM v_orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        GROUP BY c_mktsegment
+    """)
+
+
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the events props column (the
     reference has no JSON data-plane functions — SURVEY §2.2)."""
@@ -722,6 +826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier": q_q5_local_supplier,
         "q14_promo_revenue": q_q14_promo_revenue,
+        "q2_max_acctbal": q_q2_max_acctbal,
+        "q4_order_priority": q_q4_order_priority,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q9_product_profit": q_q9_product_profit,
+        "q22_dormant_customers": q_q22_dormant_customers,
         "json_props_stats": q_json_props_stats,
         "rollup_revenue": q_rollup_revenue,
         "set_ops_users": q_set_ops_users,
@@ -1035,6 +1144,61 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name
 ORDER BY revenue_cents DESC, n_name ASC
+""",
+        "q2_max_acctbal": """
+SELECT s_name, n_name, CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = supplier.s_nationkey)
+""",
+        "q4_order_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        "q7_nation_volume": """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume_cents) AS BIGINT) AS volume_cents
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS volume_cents
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+        "q9_product_profit": """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT)) AS BIGINT)
+         AS profit_cents
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, l_year
+ORDER BY n_name, l_year
+""",
+        "q22_dormant_customers": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+GROUP BY c_mktsegment
 """,
         "q14_promo_revenue": """
 SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
