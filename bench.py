@@ -49,7 +49,7 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
 # scaling mode needs enough work that the parallel fraction dominates
 # the per-job driver overhead (Amdahl): the efficiency measurement is
 # meaningless when fixed job costs dominate
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "16000000"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
 # at sandbox data sizes the default 64MB targets collapse the rewrite
 # into fewer tasks than cores; 100TB tables never hit this (file count
@@ -166,18 +166,27 @@ def run_once(cpus: int, sf_dir: str, maintenance_only: bool = False,
              n_rows: int | None = None) -> dict:
     from feature_engineering_poc_spark.session import get_session
 
+    # dedicated scratch dir: shuffle/spill IO goes to a known location
+    # that is cleaned up, and runs don't contend over stale temp trees
+    local_dir = tempfile.mkdtemp(prefix=f"fepoc_spark_local_{cpus}_")
     spark = get_session(
         app_name=f"bench-{cpus}",
         parallelism=cpus,
         # keep post-shuffle parallelism ≥ cores at sandbox data sizes
         # (AQE would otherwise coalesce ~100MB shuffles to 2 partitions)
-        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"},
+        extra_conf={
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+            "spark.local.dir": local_dir,
+        },
     )
     t_start = time.time()
     queries = {} if maintenance_only else run_headline(spark, sf_dir)
     maint = run_maintenance(spark, n_rows or BENCH_ROWS)
     total = round(time.time() - t_start, 3)
     spark.stop()
+    import shutil
+
+    shutil.rmtree(local_dir, ignore_errors=True)
     queries["compact"] = maint["compact_sec"]
     queries["merge"] = maint["merge_sec"]
     queries["cluster"] = maint["cluster_sec"]
@@ -200,7 +209,7 @@ def run_once(cpus: int, sf_dir: str, maintenance_only: bool = False,
 
 def run_scaling(
     n_small: int = SCALING_N,
-    reps: int = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2")),
+    reps: int = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")),
 ) -> dict:
     """Same maintenance job at N and 4N cores in fresh JVMs.
 
@@ -239,7 +248,19 @@ def run_scaling(
     return {"n_small": n_small, "results": results, "efficiency": eff}
 
 
-def write_baseline_md(scaling: dict) -> None:
+HISTORY_PATH = Path(__file__).parent / "BENCH" / "history.jsonl"
+
+
+def _append_history(entry: dict) -> list[dict]:
+    """Accumulate every --scaling run; BASELINE.md renders ALL runs so
+    the representative number is never a cherry-picked subset."""
+    HISTORY_PATH.parent.mkdir(exist_ok=True)
+    with HISTORY_PATH.open("a") as f:
+        f.write(json.dumps(entry) + "\n")
+    return [json.loads(l) for l in HISTORY_PATH.read_text().splitlines() if l.strip()]
+
+
+def write_baseline_md(scaling: dict, history: list[dict] | None = None) -> None:
     n = scaling["n_small"]
     small = scaling["results"][n]["maintenance"]
     big = scaling["results"][n * 4]["maintenance"]
@@ -249,7 +270,10 @@ def write_baseline_md(scaling: dict) -> None:
         "",
         f"Sandbox proxy for N vs 4N executors: `local[{n}]` vs `local[{n*4}]`,",
         f"same input ({small['rows']} synthetic sequences, fresh JVM per level),",
-        "shuffle partitions = cores. Efficiency = (tput_4N / tput_N) / 4.",
+        "shuffle partitions = cores, dedicated spark.local.dir, interleaved",
+        "best-of-k reps per level. Efficiency = (tput_4N / tput_N) / 4.",
+        "",
+        "Representative run = the LATEST (current code):",
         "",
         "| op | rows/sec @N | rows/sec @4N | scaling efficiency |",
         "|---|---|---|---|",
@@ -265,6 +289,28 @@ def write_baseline_md(scaling: dict) -> None:
         f"Raw: 4N={n*4}: {json.dumps(big)}",
         "",
         "Pass threshold (BASELINE.json): ≥ 0.8 between N and 4N.",
+    ]
+    if history:
+        lines += [
+            "",
+            "## All runs (identical methodology; every run reported)",
+            "",
+            "| run | rows | reps | compact | merge | cluster | code |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for i, h in enumerate(history, 1):
+            e = h["efficiency"]
+            lines.append(
+                f"| r{i} | {h['rows'] // 1_000_000}M | {h.get('reps', '?')} | "
+                f"{e['compact']} | {e['merge']} | {e['cluster']} | {h.get('note', '')} |"
+            )
+        lines += [
+            "",
+            "Cross-run swing on identical code is ±25% per leg (noisy-",
+            "neighbor VM; load-average spikes with the box idle observed).",
+            "All runs are reported rather than the flattering subset.",
+        ]
+    lines += [
         "",
         "## Analysis",
         "",
@@ -300,10 +346,19 @@ def write_baseline_md(scaling: dict) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling = run_scaling()
-        write_baseline_md(scaling)
-        Path("BENCH").mkdir(exist_ok=True)
         small, big = (scaling["results"][scaling["n_small"]]["maintenance"],
                       scaling["results"][scaling["n_small"] * 4]["maintenance"])
+        history = _append_history({
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "rows": SCALING_ROWS,
+            "reps": int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")),
+            "efficiency": scaling["efficiency"],
+            "throughput_n": {op: small[f"{op}_rows_per_sec"] for op in ("compact", "merge", "cluster")},
+            "throughput_4n": {op: big[f"{op}_rows_per_sec"] for op in ("compact", "merge", "cluster")},
+            "note": os.environ.get("SPARK_GRAFT_NOTE", ""),
+        })
+        write_baseline_md(scaling, history)
+        Path("BENCH").mkdir(exist_ok=True)
         Path("BENCH/scaling.json").write_text(json.dumps({
             "n_cores": scaling["n_small"], "n4_cores": scaling["n_small"] * 4,
             "rows": SCALING_ROWS, "efficiency": scaling["efficiency"],
