@@ -563,6 +563,104 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one pass (Spark expands grouping sets before the shuffle)."""
+    spark = _cfg(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(rev).alias("revenue_cents"), F.count("*").alias("n_items"))
+        .select("l_returnflag", "l_linestatus", "revenue_cents",
+                F.col("n_items").cast("long"))
+    )
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset window breadth: rank, dense_rank, row_number,
+    ntile, lead over a deterministic (date, key) order per customer."""
+    spark = _cfg(spark)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        _cents(F.lead("o_totalprice", 1).over(w)).alias("next_total_cents"),
+    )
+
+
+def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming→lakehouse ingestion (rows-only: stateful multi-batch
+    pipeline): two files drained via foreachBatch MERGE, one snapshot
+    per micro-batch, final state fingerprint-verified against the
+    batch-computed expectation, checkpoint replay proven a no-op."""
+    import os
+    import shutil
+    import time as _time
+
+    from feature_engineering_poc_spark.lakehouse import (
+        scan_fingerprint,
+        write_token_table,
+    )
+    from feature_engineering_poc_spark.streaming import stream_merge_into
+
+    _cfg(spark)
+    root = Path(tempfile.mkdtemp(prefix="fepoc_stream_entry_"))
+    t = write_token_table(spark, root / "tbl", n_rows=800, files_per_source=2, max_tok=32)
+    sid0 = t.current_snapshot_id()
+    pre = t.scan(spark)
+    base = pre.orderBy("doc_id").limit(30).collect()
+    schema = ("doc_id string, tokens array<int>, n_tok int, source string, "
+              "_op string, _seq long")
+    upd = [(r.doc_id, [1, 2], 2, r.source, "upsert", 1) for r in base[:20]]
+    dele = [(r.doc_id, None, None, r.source, "delete", 2) for r in base[20:30]]
+    ins = [(f"zz-stream-{i:05d}", [5] * 3, 3, "web", "upsert", 3) for i in range(15)]
+    incoming = root / "incoming"
+    incoming.mkdir()
+
+    def one_file(df, dest):
+        tmp = dest.parent / (dest.name + ".tmpdir")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(p for p in Path(tmp).glob("*.parquet"))
+        shutil.move(str(part), dest)
+        shutil.rmtree(tmp)
+
+    one_file(spark.createDataFrame(upd, schema), incoming / "f1.parquet")
+    one_file(spark.createDataFrame(dele + ins, schema), incoming / "f2.parquet")
+    now = _time.time()
+    os.utime(incoming / "f1.parquet", (now - 100, now - 100))
+    os.utime(incoming / "f2.parquet", (now, now))
+
+    r1 = stream_merge_into(spark, t, str(incoming), str(root / "ckpt"),
+                           max_files_per_trigger=1, query_name="entry-stream")
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    changed = spark.createDataFrame(upd + dele, schema).select("doc_id")
+    expected = (
+        pre.join(changed, "doc_id", "left_anti").select(*cols)
+        .unionByName(spark.createDataFrame(upd, schema).select(*cols))
+        .unionByName(spark.createDataFrame(ins, schema).select(*cols))
+    )
+    fe, fg = scan_fingerprint(expected), scan_fingerprint(t.scan(spark))
+    r2 = stream_merge_into(spark, t, str(incoming), str(root / "ckpt"),
+                           max_files_per_trigger=1, query_name="entry-stream")
+    out = spark.createDataFrame(
+        [(
+            int(r1["batches"]),
+            int(t.current_snapshot_id() - sid0),
+            bool((fe.row_count, fe.xor_hash) == (fg.row_count, fg.xor_hash)),
+            bool(r2["batches"] == 0),
+        )],
+        "batches long, snapshots long, scan_equal boolean, replay_noop boolean",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 # ------------------------------------------------------ text/documents
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,6 +931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_customers": q_q22_dormant_customers,
         "json_props_stats": q_json_props_stats,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "window_funcs": q_window_funcs,
+        "stream_merge": q_stream_merge,
         "set_ops_users": q_set_ops_users,
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
@@ -1229,6 +1330,25 @@ SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
 FROM lineitem
 GROUP BY ROLLUP (year(l_shipdate), month(l_shipdate))
 ORDER BY 1, 2
+""",
+        "cube_revenue": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "window_funcs": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(round(lead(o_totalprice, 1) OVER w * 100) AS BIGINT) AS next_total_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
         "set_ops_users": """
 WITH clickers AS (SELECT user_id FROM events WHERE event_type = 'click'),

@@ -227,7 +227,14 @@ def run_scaling(
                 [sys.executable, __file__, "--maintenance-only"],
                 capture_output=True, text=True, env=env, timeout=3600,
             )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            json_lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not json_lines:
+                raise RuntimeError(
+                    f"scaling leg cpus={cpus} produced no result "
+                    f"(rc={out.returncode}); stderr tail:\n"
+                    + "\n".join(out.stderr.strip().splitlines()[-15:])
+                )
+            line = json_lines[-1]
             rec = json.loads(line)
             prev = results.get(cpus)
             if prev is None:

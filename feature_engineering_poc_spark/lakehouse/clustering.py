@@ -73,10 +73,12 @@ def _make_key_udf(specs: list[_ColSpec], curve: str, bits: int):
 
 
 def _partition_bounds(
-    spark: SparkSession, manifest_part: DataFrame, columns: list[str], files: list[str]
+    spark: SparkSession, manifest_rows: list, columns: list[str], files: list[str]
 ) -> list[_ColSpec]:
-    """Grid bounds per cluster column — manifest-only for the stats
-    columns (doc_id, n_tok); one column-pruned data agg otherwise."""
+    """Grid bounds per cluster column — computed from the ALREADY-
+    collected manifest rows for the stats columns (doc_id, n_tok):
+    zero extra Spark jobs on the default path. Columns without
+    manifest stats cost one column-pruned data agg."""
     specs: list[_ColSpec] = []
     covered = {"doc_id", "n_tok"}
     agg_row = None
@@ -87,18 +89,16 @@ def _partition_bounds(
         for c in extra:
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
         agg_row = df.agg(*aggs).collect()[0]
-    mrow = manifest_part.agg(
-        F.min("min_doc_id").alias("lo_doc"),
-        F.max("max_doc_id").alias("hi_doc"),
-        F.min("min_n_tok").alias("lo_nt"),
-        F.max("max_n_tok").alias("hi_nt"),
-    ).collect()[0]
+    lo_doc = min((r.min_doc_id for r in manifest_rows if r.min_doc_id is not None), default="")
+    hi_doc = max((r.max_doc_id for r in manifest_rows if r.max_doc_id is not None), default="")
+    lo_nt = min((r.min_n_tok for r in manifest_rows if r.min_n_tok is not None), default=0)
+    hi_nt = max((r.max_n_tok for r in manifest_rows if r.max_n_tok is not None), default=1)
     for c in columns:
         if c == "doc_id":
-            lo, hi = string_prefix_ordinal([mrow.lo_doc or "", mrow.hi_doc or ""])
+            lo, hi = string_prefix_ordinal([lo_doc or "", hi_doc or ""])
             specs.append(_ColSpec(c, "string", float(lo), float(hi)))
         elif c == "n_tok":
-            specs.append(_ColSpec(c, "numeric", float(mrow.lo_nt or 0), float(mrow.hi_nt or 1)))
+            specs.append(_ColSpec(c, "numeric", float(lo_nt or 0), float(hi_nt or 1)))
         else:
             lo, hi = agg_row[f"lo_{c}"], agg_row[f"hi_{c}"]
             if isinstance(lo, str):
@@ -127,14 +127,18 @@ def cluster(
     scoped = manifest
     if partitions is not None:  # partition-scoped maintenance
         scoped = scoped.filter(F.col("partition").isin(partitions))
-    entries = scoped.select("partition", "file_path", "file_bytes", "record_count").collect()
+    entries = scoped.select(
+        "partition", "file_path", "file_bytes", "record_count",
+        "min_doc_id", "max_doc_id", "min_n_tok", "max_n_tok",
+    ).collect()
     by_part: dict[str, list] = defaultdict(list)
     for r in entries:
         by_part[r.partition].append(r)
     if not entries:
         return {"snapshot_id": None, "units": 0}
 
-    log = LineageLog(table.root, job_id or f"{curve}-snap{parent}")
+    job_tag = job_id or f"{curve}-snap{parent}"
+    log = LineageLog(table.root, job_tag)
     done = log.completed_units()
 
     def run_unit(part: str) -> None:
@@ -143,13 +147,11 @@ def cluster(
         total_bytes = sum(r.file_bytes for r in rows_p)
         total_rows = sum(r.record_count for r in rows_p)
         n_out = max(1, round(total_bytes / target_file_bytes))
-        specs = _partition_bounds(
-            spark, manifest.filter(F.col("partition") == part), list(columns), files
-        )
+        specs = _partition_bounds(spark, rows_p, list(columns), files)
         key_udf = _make_key_udf(specs, curve, bits)
         df = spark.read.schema(TOKEN_SCHEMA).parquet(*files)
         keyed = df.withColumn("zkey", key_udf(*[F.col(s.name) for s in specs]))
-        out_dir = table.new_data_dir(f"{curve}-snap{parent}") / part
+        out_dir = table.new_data_dir(job_tag) / part
         (
             keyed.repartitionByRange(n_out, "zkey")
             .sortWithinPartitions("zkey")

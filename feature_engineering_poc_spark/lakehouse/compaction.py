@@ -151,7 +151,8 @@ def compact(
     if not units:
         return {"snapshot_id": None, "units": 0, "files_in": 0, "files_out": 0, "rows": 0}
 
-    log = LineageLog(table.root, job_id or f"compact-snap{parent}")
+    job_tag = job_id or f"compact-snap{parent}"
+    log = LineageLog(table.root, job_tag)
     done = log.completed_units()
     resumed = sum(1 for part, _ in units if part in done)
     pending = [(part, bins) for part, bins in units if part not in done]
@@ -160,7 +161,7 @@ def compact(
         files = [f for b in bins for f in b.files]
         rows = sum(b.rows for b in bins)
         n_out = len(bins)
-        out_dir = table.new_data_dir(f"compact-snap{parent}") / part
+        out_dir = table.new_data_dir(job_tag) / part
         if mode == "binpack":
             specs = [
                 {"files": b.files, "partition": part, "out": str(out_dir / f"bin-{i:05d}.parquet")}
