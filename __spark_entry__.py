@@ -906,6 +906,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path (rows-only: numpy wave synthesis isn't SQL):
+    seeded WAV/PPM payloads decoded by the native stdlib/numpy codecs
+    (fake=False) — sample-rate/dims recovered from the bytes."""
+    from feature_engineering_poc_spark.functions import multimodal as mm
+
+    _cfg(spark)
+    media = mm.synthetic_codec_media_df(spark, n=60, seed=7)
+    out = mm.extract_features(media, feature_dim=12, fake=False)
+    return out.select(
+        F.col("media_id").cast("long"), "modality",
+        F.col("payload_bytes").cast("long"),
+        # feature[0] = sample-rate kHz (audio) / width/1000 (image) —
+        # quantized to permille ints for a stable value hash
+        F.round(F.element_at("feature", 1) * 1000).cast("long").alias("f0_permille"),
+        F.round(F.element_at("feature", 3) * 1000).cast("long").alias("f2_permille"),
+    )
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -955,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lakehouse_merge": q_lakehouse_merge,
         "lakehouse_cluster": q_lakehouse_cluster,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 

@@ -30,6 +30,7 @@ def test_registry_consistency():
         "ann_lsh_topk",  # seeded-random hyperplane buckets
         "lakehouse_compact", "lakehouse_merge", "lakehouse_cluster",
         "multimodal_features",
+        "multimodal_decode",  # numpy wave/image synthesis isn't SQL
         "stream_merge",  # stateful multi-batch streaming (self-verifying)
     }
 

@@ -229,3 +229,58 @@ def test_multimodal_feature_extraction(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         mm.extract_features(media, feature_dim=16, fake=False).collect()
+
+
+def test_wav_codec_roundtrip():
+    """Real WAV decode: a pure sine's RMS is amp/sqrt(2); header fields
+    survive the round trip."""
+    import numpy as np
+
+    from feature_engineering_poc_spark.functions import multimodal as mm
+
+    sr, amp, freq = 8000, 0.5, 200.0
+    t = np.arange(sr) / sr  # exactly 1 s, whole number of periods
+    payload = mm.encode_wav(amp * np.sin(2 * np.pi * freq * t), sr)
+    feat, meta = mm.decode_wav(payload, feature_dim=8)
+    assert meta == {"sample_rate": sr, "n_frames": sr}
+    assert feat[0] == sr / 1000.0 and abs(feat[1] - 1.0) < 1e-6  # khz, duration
+    assert abs(feat[2] - amp / np.sqrt(2)) < 1e-3  # RMS
+    assert abs(feat[3] - amp) < 1e-3  # peak
+    # frame energies of a stationary sine are all ~RMS
+    assert all(abs(b - feat[2]) < 5e-2 for b in feat[4:8])
+
+
+def test_ppm_codec_roundtrip():
+    """Real PPM decode: dimensions and channel means are exact."""
+    import numpy as np
+
+    from feature_engineering_poc_spark.functions import multimodal as mm
+
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    img[..., 0] = 255  # pure red
+    img[..., 1] = 128
+    feat, meta = mm.decode_ppm(mm.encode_ppm(img), feature_dim=8)
+    assert meta == {"width": 6, "height": 4}
+    assert abs(feat[2] - 1.0) < 1e-6 and abs(feat[3] - 128 / 255) < 1e-6
+    assert abs(feat[4] - 0.0) < 1e-6
+    # mean-pooled gray cells of a constant image are all the same
+    gray = (255 + 128 + 0) / 3 / 255
+    assert all(abs(c - gray) < 1e-6 for c in feat[5:8])
+
+
+def test_real_codec_media_pipeline(spark):
+    """e2e: generated wav/ppm payloads decode for REAL (fake=False) via
+    the same mapInPandas path; deterministic across runs."""
+    from feature_engineering_poc_spark.functions import multimodal as mm
+
+    media = mm.synthetic_codec_media_df(spark, n=30, seed=7)
+    rows = mm.extract_features(media, feature_dim=12, fake=False).collect()
+    assert len(rows) == 30
+    assert {r.modality for r in rows} == {"audio", "image"}
+    assert all(len(r.feature) == 12 for r in rows)
+    # audio rows carry the sample rate in feat[0] (kHz)
+    audio = [r for r in rows if r.modality == "audio"]
+    assert all(abs(r.feature[0] - 8.0) < 1e-6 for r in audio)
+    again = mm.extract_features(mm.synthetic_codec_media_df(spark, n=30, seed=7),
+                                feature_dim=12, fake=False).collect()
+    assert {r.media_id: r.feature for r in rows} == {r.media_id: r.feature for r in again}
