@@ -33,13 +33,16 @@ Scale shape:
    snapshot swap. Old snapshots untouched (snapshot isolation).
 
 Serial driver cost (the Amdahl S term that caps scaling efficiency) is
-exactly TWO blocking aggregations before the rewrite fan-out:
+exactly THREE blocking aggregations before the rewrite fan-out:
 
 - one combined agg over the persisted source (key range + row count +
-  duplicate detection + broadcast-size estimate — previously four
-  separate jobs);
+  duplicate detection — previously four separate jobs);
 - one grouped collect over the persisted probe join (touched-file set
-  AND per-op matched counts in the same result — previously two).
+  AND per-op matched counts in the same result — previously two);
+- one tiny agg over the persisted EFFECTIVE source (matched rows only,
+  delete payloads dropped) whose materialization replaces a
+  full-source shuffle join in every rewrite unit and yields an exact
+  broadcast-size estimate.
 
 The insert path is a single ``partitionBy`` write whose row count comes
 from the parquet footers the manifest needs anyway (previously a
@@ -48,6 +51,9 @@ count job + a distinct-partitions job + one write per partition).
 
 from __future__ import annotations
 
+import logging
+import os
+import time
 from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
 from urllib.parse import unquote
@@ -63,6 +69,25 @@ from .stats import file_stats_df
 
 class DuplicateSourceKeys(ValueError):
     pass
+
+
+logger = logging.getLogger(__name__)
+_TIMING = os.environ.get("FEPOC_MERGE_TIMING") == "1"
+
+
+class _Phase:
+    """Env-gated phase timer (FEPOC_MERGE_TIMING=1) for Amdahl hunting."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        if _TIMING:
+            print(f"MERGE_PHASE {self.name} {time.time() - self.t0:.2f}s", flush=True)
 
 
 def _prepare_source(
@@ -126,11 +151,11 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
         F.min("doc_id").alias("lo"),
         F.max("doc_id").alias("hi"),
         F.count("*").alias("n"),
-        F.avg(F.coalesce("n_tok", F.lit(0))).alias("avg_tok"),
     ]
     if duplicate_policy == "error":
         aggs.append(F.countDistinct("doc_id").alias("nd"))
-    prof = src.agg(*aggs).collect()[0]
+    with _Phase("profile_agg"):
+        prof = src.agg(*aggs).collect()[0]
     if prof.lo is None:  # empty source
         return {"snapshot_id": None, "rows_updated": 0, "rows_deleted": 0, "rows_inserted": 0}
     if duplicate_policy == "error" and prof.nd != prof.n:
@@ -143,17 +168,12 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
     cand = manifest.filter(
         (F.col("max_doc_id") >= prof.lo) & (F.col("min_doc_id") <= prof.hi)
     )
-    cand_rows = cand.select("file_path", "partition").collect()
+    with _Phase("candidate_collect"):
+        cand_rows = cand.select("file_path", "partition").collect()
     cand_by_part: dict[str, list[str]] = defaultdict(list)
     for r in cand_rows:
         cand_by_part[r.partition].append(r.file_path)
     cand_files = [r.file_path for r in cand_rows]
-
-    # broadcast the source into the rewrite joins when it plausibly fits
-    # an executor (updates are usually ≪ table); estimated from the
-    # profile agg above, not guessed
-    src_bytes_est = int((prof.n or 0) * ((prof.avg_tok or 0) * 4 + 64))
-    broadcast_src = src_bytes_est < 256 * 1024 * 1024
 
     # 2. PROBE — column-pruned scan of candidates (doc_id only) joined
     # to the source keys. ONE grouped collect returns both the
@@ -174,16 +194,40 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
         matched = spark.createDataFrame(
             [], "doc_id string, file_path string, _op string"
         ).persist()
-    probe_rows = (
-        matched.groupBy("_op")
-        .agg(
-            F.countDistinct("doc_id").alias("n"),
-            F.collect_set("file_path").alias("files"),
+    with _Phase("probe_collect"):
+        probe_rows = (
+            matched.groupBy("_op")
+            .agg(
+                F.countDistinct("doc_id").alias("n"),
+                F.collect_set("file_path").alias("files"),
+            )
+            .collect()
         )
-        .collect()
-    )
     touched_files = {f for r in probe_rows for f in r.files}
     op_counts = {r._op: r.n for r in probe_rows}
+
+    # EFFECTIVE rewrite source: only rows whose key matched a target row
+    # (inserts never join the rewrite), and delete rows shed their
+    # payload (only the op matters). One semi-join shuffle HERE replaces
+    # a full-source shuffle join in EVERY rewrite unit, and the shrunken
+    # result is usually broadcastable even when the raw source was not.
+    eff_src = (
+        src.join(matched.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.when(F.col("_op") == "upsert", F.col("tokens")).alias("tokens"),
+            F.when(F.col("_op") == "upsert", F.col("n_tok")).alias("n_tok"),
+            "_op",
+        )
+        .persist()
+    )
+    with _Phase("eff_src_agg"):
+        eff = eff_src.agg(
+            F.count("*").alias("n"), F.sum(F.coalesce("n_tok", F.lit(0))).alias("tok")
+        ).collect()[0]
+    # exact size estimate from the materialized rewrite side, not a guess
+    src_bytes_est = int((eff.tok or 0) * 4 + (eff.n or 0) * 64)
+    broadcast_src = src_bytes_est < 256 * 1024 * 1024
     metrics = {
         "rows_updated": int(op_counts.get("upsert", 0)),
         "rows_deleted": int(op_counts.get("delete", 0)),
@@ -194,7 +238,7 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
 
     def run_rewrite_unit(part: str, files_p: list[str]) -> None:
         target_p = spark.read.schema(TOKEN_SCHEMA).parquet(*files_p)
-        src_side = src.select(
+        src_side = eff_src.select(
             F.col("doc_id").alias("s_doc_id"),
             F.col("tokens").alias("s_tokens"),
             F.col("n_tok").alias("s_n_tok"),
@@ -220,12 +264,16 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
         )
         out_dir = out_root / part
         n_out = max(1, len(files_p) // 2)  # merged output ≈ input volume
+        # persist before the range write: repartitionByRange's sampling
+        # pass would otherwise re-execute the whole join
+        rewritten = rewritten.persist()
         (
             rewritten.repartitionByRange(n_out, "doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(str(out_dir))
         )
+        rewritten.unpersist()
         new_files = list_parquet_files(out_dir)
         stats = [r.asDict() for r in file_stats_df(spark, [(f, part) for f in new_files]).collect()]
         log.mark_unit_done(
@@ -249,7 +297,7 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
             if i >= _fail_after_units:
                 raise RuntimeError(f"injected failure after {i} units (test hook)")
     elif pending:
-        with ThreadPoolExecutor(max_workers=min(8, len(pending))) as ex:
+        with _Phase("rewrite_units"), ThreadPoolExecutor(max_workers=min(8, len(pending))) as ex:
             for f in [ex.submit(run_rewrite_unit, p, fs) for p, fs in pending]:
                 f.result()
 
@@ -262,6 +310,7 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
     # job, and no second action over the repartitionByRange plan (its
     # sampling pass would re-execute it).
     if "insert" not in done:
+        _t_ins = time.time()
         inserts = (
             src.filter(F.col("_op") == "upsert")
             .join(matched.select("doc_id"), "doc_id", "left_anti")
@@ -286,7 +335,10 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
         n_ins = sum(s["record_count"] for s in stats)
         log.mark_unit_done("insert", files_in=[], new_manifest_rows=stats,
                            metrics={"rows_inserted": n_ins})
+        if _TIMING:
+            print(f"MERGE_PHASE insert {time.time() - _t_ins:.2f}s", flush=True)
     matched.unpersist()
+    eff_src.unpersist()
 
     # 5. COMMIT — assemble from lineage (covers resumed units).
     done = log.completed_units()
@@ -301,7 +353,8 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
         new_manifest = new_manifest.unionByName(spark.createDataFrame(new_rows, MANIFEST_SCHEMA))
     summary = {**metrics, "files_rewritten": len(removed), "files_written": len(new_rows),
                "candidate_files": len(cand_files), "touched_files": len(touched_files)}
-    sid = table.commit(new_manifest, operation="merge", summary=summary, parent_id=parent)
+    with _Phase("commit"):
+        sid = table.commit(new_manifest, operation="merge", summary=summary, parent_id=parent)
     log.log_event("committed", snapshot_id=sid, **summary)
     return {"snapshot_id": sid, **summary}
 
