@@ -563,6 +563,37 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with EXPLICIT values (skips the distinct-scan Spark needs
+    for implicit pivots — the at-scale best practice); equivalent to
+    conditional aggregation, which is exactly what the oracle uses."""
+    spark = _cfg(spark)
+    ev = _t(spark, sf_dir, "events").withColumn("cents", _cents(F.col("value")))
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(F.sum("cents"))
+    return out.select(
+        F.col("user_id").cast("long"),
+        *[F.coalesce(F.col(v), F.lit(0)).cast("long").alias(f"spend_{v}_cents")
+          for v in EVENT_TYPES],
+    )
+
+
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) of order totals per priority —
+    Spark's percentile() and DuckDB's quantile_cont share the linear-
+    interpolation definition, so integer-cent inputs hash-match."""
+    spark = _cfg(spark)
+    o = _t(spark, sf_dir, "orders").withColumn("cents", _cents(F.col("o_totalprice")))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("cents", 0.5)).cast("long").alias("p50_cents"),
+            F.round(F.percentile("cents", 0.9)).cast("long").alias("p90_cents"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 4 grouping combinations
     in one pass (Spark expands grouping sets before the shuffle)."""
@@ -952,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
         "window_funcs": q_window_funcs,
+        "pivot_spend": q_pivot_spend,
+        "order_percentiles": q_order_percentiles,
         "stream_merge": q_stream_merge,
         "set_ops_users": q_set_ops_users,
         "sessionization": q_sessionization,
@@ -1350,6 +1383,18 @@ SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
 FROM lineitem
 GROUP BY ROLLUP (year(l_shipdate), month(l_shipdate))
 ORDER BY 1, 2
+""",
+        "pivot_spend": f"""
+SELECT CAST(user_id AS BIGINT) AS user_id, {et_sums} FROM events GROUP BY user_id
+""",
+        "order_percentiles": """
+SELECT o_orderpriority,
+       CAST(round(quantile_cont(cents, 0.5)) AS BIGINT) AS p50_cents,
+       CAST(round(quantile_cont(cents, 0.9)) AS BIGINT) AS p90_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """,
         "cube_revenue": """
 SELECT l_returnflag, l_linestatus,
