@@ -115,6 +115,12 @@ def entry(spark: SparkSession) -> DataFrame:
         fp_final.row_count, fp_final.xor_hash,
     )
 
+    # the verdict row below is built from already-collected scalars, so
+    # the scratch table can go
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
     return spark.createDataFrame(
         [
             (
@@ -867,6 +873,9 @@ def q_lakehouse_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = scan_fingerprint(t.scan(spark))
     r = compact(spark, t, target_file_bytes=32 * 1024 * 1024)
     after = scan_fingerprint(t.scan(spark))
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         [(int(before.row_count), int(after.row_count),
           bool(before.xor_hash == after.xor_hash), int(r["files_compacted"] > r["files_written"]))],
@@ -896,6 +905,9 @@ def q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_del_expected = deletes.count()
     r = merge_into(spark, t, updates.unionByName(deletes).unionByName(inserts))
     rows_after = t.scan(spark).count()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         [(int(r["rows_updated"]), int(r["rows_deleted"]), int(r["rows_inserted"]),
           int(rows_after), bool(rows_after == 2000 - n_del_expected + 50))],
@@ -918,6 +930,9 @@ def q_lakehouse_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = scan_fingerprint(t.scan(spark))
     m1 = t.manifest_df(spark)
     frac_after = prune_files(m1, n_tok_range=(16, 32)).count() / max(m1.count(), 1)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         [(bool(before.xor_hash == after.xor_hash), bool(frac_after < frac_before))],
         "scan_equal boolean, pruning_improved boolean",

@@ -37,6 +37,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "window_funcs",
     "t8_rolling_window",
     "t10_categorical_spend",
     "ann_topk",
