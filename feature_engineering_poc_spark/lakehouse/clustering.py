@@ -40,7 +40,7 @@ from ..plans.sfc import (
     string_prefix_ordinal,
 )
 from .lineage import LineageLog
-from .metadata import MANIFEST_SCHEMA, TOKEN_SCHEMA, TokenTable, list_parquet_files
+from .metadata import TOKEN_SCHEMA, TokenTable, list_parquet_files
 from .stats import file_stats_df
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
@@ -89,10 +89,10 @@ def _partition_bounds(
         for c in extra:
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
         agg_row = df.agg(*aggs).collect()[0]
-    lo_doc = min((r.min_doc_id for r in manifest_rows if r.min_doc_id is not None), default="")
-    hi_doc = max((r.max_doc_id for r in manifest_rows if r.max_doc_id is not None), default="")
-    lo_nt = min((r.min_n_tok for r in manifest_rows if r.min_n_tok is not None), default=0)
-    hi_nt = max((r.max_n_tok for r in manifest_rows if r.max_n_tok is not None), default=1)
+    lo_doc = min((r["min_doc_id"] for r in manifest_rows if r["min_doc_id"] is not None), default="")
+    hi_doc = max((r["max_doc_id"] for r in manifest_rows if r["max_doc_id"] is not None), default="")
+    lo_nt = min((r["min_n_tok"] for r in manifest_rows if r["min_n_tok"] is not None), default=0)
+    hi_nt = max((r["max_n_tok"] for r in manifest_rows if r["max_n_tok"] is not None), default=1)
     for c in columns:
         if c == "doc_id":
             lo, hi = string_prefix_ordinal([lo_doc or "", hi_doc or ""])
@@ -123,29 +123,31 @@ def cluster(
     if curve not in ("zorder", "hilbert"):
         raise ValueError(f"unknown curve: {curve}")
     parent = table.current_snapshot_id()
-    manifest = table.manifest_df(spark)
-    scoped = manifest
-    if partitions is not None:  # partition-scoped maintenance
-        scoped = scoped.filter(F.col("partition").isin(partitions))
-    entries = scoped.select(
-        "partition", "file_path", "file_bytes", "record_count",
-        "min_doc_id", "max_doc_id", "min_n_tok", "max_n_tok",
-    ).collect()
+    # Driver-side manifest planning (pyarrow footer path when small —
+    # zero Spark jobs; see metadata.manifest_records).
+    entries = [
+        r for r in table.manifest_records(spark, parent)
+        if partitions is None or r["partition"] in partitions
+    ]
     by_part: dict[str, list] = defaultdict(list)
     for r in entries:
-        by_part[r.partition].append(r)
+        by_part[r["partition"]].append(r)
     if not entries:
         return {"snapshot_id": None, "units": 0}
 
     job_tag = job_id or f"{curve}-snap{parent}"
     log = LineageLog(table.root, job_tag)
+    prior = log.committed()
+    if prior is not None:  # replayed job: already committed, no-op
+        return {k: v for k, v in prior.items()
+                if k not in ("event", "job_id", "timestamp_ms")}
     done = log.completed_units()
 
     def run_unit(part: str) -> None:
         rows_p = by_part[part]
-        files = [r.file_path for r in rows_p]
-        total_bytes = sum(r.file_bytes for r in rows_p)
-        total_rows = sum(r.record_count for r in rows_p)
+        files = [r["file_path"] for r in rows_p]
+        total_bytes = sum(r["file_bytes"] for r in rows_p)
+        total_rows = sum(r["record_count"] for r in rows_p)
         n_out = max(1, round(total_bytes / target_file_bytes))
         specs = _partition_bounds(spark, rows_p, list(columns), files)
         key_udf = _make_key_udf(specs, curve, bits)
@@ -185,10 +187,6 @@ def cluster(
     done = log.completed_units()
     removed = [f for rec in done.values() for f in rec["files_in"]]
     new_rows = [row for rec in done.values() for row in rec["new_manifest_rows"]]
-    removed_df = spark.createDataFrame([(f,) for f in removed], "file_path string")
-    new_manifest = manifest.join(F.broadcast(removed_df), "file_path", "left_anti").unionByName(
-        spark.createDataFrame(new_rows, MANIFEST_SCHEMA)
-    )
     summary = {
         "curve": curve,
         "columns": list(columns),
@@ -197,8 +195,10 @@ def cluster(
         "rows": sum(rec["metrics"]["rows"] for rec in done.values()),
         "units": len(by_part),
     }
-    sid = table.commit(new_manifest, operation=f"cluster-{curve}", summary=summary, parent_id=parent)
-    log.log_event("committed", snapshot_id=sid, **{k: v for k, v in summary.items() if k != "columns"})
+    sid = table.commit_delta(
+        spark, removed, new_rows, operation=f"cluster-{curve}", summary=summary, parent_id=parent
+    )
+    log.log_event("committed", snapshot_id=sid, **summary)
     return {"snapshot_id": sid, **summary}
 
 

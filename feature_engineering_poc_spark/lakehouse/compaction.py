@@ -32,7 +32,6 @@ from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from ..plans.binpack import pack_bins
 from .lineage import LineageLog
@@ -98,9 +97,12 @@ def _rewrite_bins_distributed(
                 )
             yield pd.DataFrame(out, columns=[f.name for f in MANIFEST_SCHEMA.fields])
 
-    specs_df = spark.createDataFrame(
-        [(_json.dumps(s),) for s in bin_specs], "spec string"
-    ).repartition(len(bin_specs))
+    # parallelize with one slice per bin: task-per-bin WITHOUT the
+    # round-robin shuffle (and stage barrier) repartition() would add
+    rdd = spark.sparkContext.parallelize(
+        [(_json.dumps(s),) for s in bin_specs], max(1, len(bin_specs))
+    )
+    specs_df = spark.createDataFrame(rdd, "spec string")
     return [r.asDict() for r in specs_df.mapInPandas(kernel, MANIFEST_SCHEMA).collect()]
 
 
@@ -112,6 +114,7 @@ def compact(
     job_id: str | None = None,
     mode: str = "binpack",
     partitions: list[str] | None = None,
+    units_per_job: int = 64,
     _fail_after_units: int | None = None,
 ) -> dict:
     """Compact small files; returns a summary dict (snapshot_id=None if no-op).
@@ -123,25 +126,43 @@ def compact(
     re-sorting, not just file-size repair; clustering.py is the
     dedicated re-sort op).
 
+    Binpack execution GROUPS partition units: up to ``units_per_job``
+    partitions' bins ride in ONE Spark job (bins are independent tasks,
+    so grouping loses no parallelism). This bounds the per-job driver
+    submission overhead — the constant serial term — at 1/64th of a
+    job per partition, while lineage checkpoints stay per-partition
+    (a crash mid-chunk redoes at most one chunk of deterministic,
+    mode=overwrite outputs). A table with 10^5 small partitions
+    compacts in ~1.5k jobs instead of 10^5.
+
+    A ``job_id`` that already committed returns its recorded result —
+    replays are no-ops (idempotent under foreachBatch-style reruns).
+
     ``_fail_after_units`` is a test hook that injects a crash after N
-    completed units to exercise checkpoint resume.
+    completed units to exercise checkpoint resume (forces the
+    sequential one-unit-per-job path so the crash point is exact).
     """
     parent = table.current_snapshot_id()
     threshold = small_file_threshold or int(target_file_bytes * 0.75)
-    manifest = table.manifest_df(spark)
+    job_tag = job_id or f"compact-snap{parent}"
+    log = LineageLog(table.root, job_tag)
+    prior = log.committed()
+    if prior is not None:  # replayed job: already committed, no-op
+        return {k: v for k, v in prior.items()
+                if k not in ("event", "job_id", "timestamp_ms")}
 
-    # PLAN — metadata only. Candidate metadata is collected for driver
-    # planning (same driver-side planning Iceberg's rewriteDataFiles does);
-    # the full manifest is never collected.
-    cand_df = manifest.filter(F.col("file_bytes") < threshold)
-    if partitions is not None:  # partition-scoped maintenance
-        cand_df = cand_df.filter(F.col("partition").isin(partitions))
-    candidates = cand_df.select(
-        "partition", "file_path", "file_bytes", "record_count"
-    ).collect()
+    # PLAN — metadata only, DRIVER-SIDE for small manifests (pyarrow
+    # footer reads, zero Spark jobs; distributed collect above
+    # SMALL_MANIFEST_ROWS) — same driver planning Iceberg's
+    # rewriteDataFiles does.
     by_part: dict[str, list] = defaultdict(list)
-    for r in candidates:
-        by_part[r.partition].append((r.file_path, r.file_bytes, r.record_count))
+    for r in table.manifest_records(spark, parent):
+        if r["file_bytes"] < threshold and (
+            partitions is None or r["partition"] in partitions
+        ):
+            by_part[r["partition"]].append(
+                (r["file_path"], r["file_bytes"], r["record_count"])
+            )
 
     units = []  # (partition, bins)
     for part in sorted(by_part):
@@ -151,8 +172,6 @@ def compact(
     if not units:
         return {"snapshot_id": None, "units": 0, "files_in": 0, "files_out": 0, "rows": 0}
 
-    job_tag = job_id or f"compact-snap{parent}"
-    log = LineageLog(table.root, job_tag)
     done = log.completed_units()
     resumed = sum(1 for part, _ in units if part in done)
     pending = [(part, bins) for part, bins in units if part not in done]
@@ -196,31 +215,61 @@ def compact(
             },
         )
 
-    # EXECUTE per partition unit (resumable granularity). Units run
-    # CONCURRENTLY — Spark's scheduler interleaves the jobs, so small
-    # partitions don't serialize behind big ones (same idea as
-    # Iceberg's rewrite commit groups). The test hook forces the
-    # sequential path to make "crash after k units" deterministic.
+    # EXECUTE. Binpack: pending units GROUPED into chunks of
+    # ``units_per_job`` — all of a chunk's bins ride one Spark job
+    # (bins are independent tasks; grouping adds parallelism within the
+    # job and slashes per-job driver overhead). Lineage checkpoints stay
+    # per-partition. Sort mode / the crash hook run one unit per job
+    # (sort needs its own range shuffle per partition; the hook needs an
+    # exact crash point).
     if _fail_after_units is not None:
         for i, (part, bins) in enumerate(pending, 1):
             run_unit(part, bins)
             if i >= _fail_after_units:
                 raise RuntimeError(f"injected failure after {i} units (test hook)")
+    elif mode == "binpack" and pending:
+        for chunk_start in range(0, len(pending), units_per_job):
+            chunk = pending[chunk_start : chunk_start + units_per_job]
+            all_specs = []
+            for part, bins in chunk:
+                out_dir = table.new_data_dir(job_tag) / part
+                all_specs.extend(
+                    {
+                        "files": b.files,
+                        "partition": part,
+                        "out": str(out_dir / f"bin-{i:05d}.parquet"),
+                    }
+                    for i, b in enumerate(bins)
+                )
+            stats_all = _rewrite_bins_distributed(spark, all_specs)
+            stats_by_part: dict[str, list[dict]] = defaultdict(list)
+            for s in stats_all:
+                stats_by_part[s["partition"]].append(s)
+            for part, bins in chunk:
+                files = [f for b in bins for f in b.files]
+                log.mark_unit_done(
+                    part,
+                    files_in=files,
+                    new_manifest_rows=stats_by_part[part],
+                    metrics={
+                        "files_rewritten": len(files),
+                        "files_written": len(stats_by_part[part]),
+                        "bytes_compacted": sum(b.bytes for b in bins),
+                        "rows": sum(b.rows for b in bins),
+                    },
+                )
     elif pending:
         with ThreadPoolExecutor(max_workers=min(8, len(pending))) as ex:
             futures = [ex.submit(run_unit, part, bins) for part, bins in pending]
             for f in futures:
                 f.result()
 
-    # COMMIT — assemble manifest from lineage (covers resumed units too).
+    # COMMIT — manifest delta assembled from lineage (covers resumed
+    # units too); driver-side pyarrow write for small manifests,
+    # distributed above SMALL_MANIFEST_ROWS (metadata.commit_delta).
     done = log.completed_units()
     removed_files = [f for rec in done.values() for f in rec["files_in"]]
     new_rows = [row for rec in done.values() for row in rec["new_manifest_rows"]]
-    removed_df = spark.createDataFrame([(f,) for f in removed_files], "file_path string")
-    new_manifest = (
-        manifest.join(F.broadcast(removed_df), "file_path", "left_anti")
-        .unionByName(spark.createDataFrame(new_rows, MANIFEST_SCHEMA))
-    )
     summary = {
         "files_compacted": len(removed_files),
         "files_written": len(new_rows),
@@ -229,6 +278,8 @@ def compact(
         "units": len(units),
         "units_resumed": resumed,
     }
-    sid = table.commit(new_manifest, operation="compact", summary=summary, parent_id=parent)
+    sid = table.commit_delta(
+        spark, removed_files, new_rows, operation="compact", summary=summary, parent_id=parent
+    )
     log.log_event("committed", snapshot_id=sid, **summary)
     return {"snapshot_id": sid, **summary}

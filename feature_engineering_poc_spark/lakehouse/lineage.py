@@ -44,6 +44,21 @@ class LineageLog:
         """unit_id → latest completion record (resume lookup)."""
         return {r["unit"]: r for r in self.records() if r.get("event") == "unit_done"}
 
+    def committed(self) -> dict | None:
+        """The job's 'committed' event, or None.
+
+        A job_id that already committed must NOT commit again: its
+        manifest rows are already in the table, and re-assembling from
+        lineage would union them a second time (duplicated files ⇒
+        duplicated rows on scan). Replayed jobs — e.g. a foreachBatch
+        micro-batch rerun after a crash between table commit and the
+        stream checkpoint write — return this record instead.
+        """
+        for r in reversed(self.records()):
+            if r.get("event") == "committed":
+                return r
+        return None
+
     def mark_unit_done(
         self,
         unit: str,

@@ -62,7 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .lineage import LineageLog
-from .metadata import MANIFEST_SCHEMA, TOKEN_SCHEMA, TokenTable, list_parquet_files
+from .metadata import TOKEN_SCHEMA, TokenTable, list_parquet_files
 from .skew import salted_latest_by_key
 from .stats import file_stats_df
 
@@ -121,25 +121,47 @@ def merge_into(
     duplicate_policy: str = "error",
     salt: int = 16,
     job_id: str | None = None,
+    max_touched_files: int = 100_000,
     _fail_after_units: int | None = None,
 ) -> dict:
     """``salt`` controls the fan-out of the two-phase dedupe when
     ``duplicate_policy="last"`` (key-level source skew is defused
-    there; the downstream joins see unique keys)."""
+    there; the downstream joins see unique keys).
+
+    ``job_id`` names a RESUMABLE, IDEMPOTENT job: a job_id whose lineage
+    log already records a commit returns that commit's result without
+    touching the table (exactly-once under foreachBatch replay).
+
+    ``max_touched_files`` caps the driver-side exactly-touched file
+    list; a merge touching more files than that falls back to a
+    partition-granular rewrite set (all candidate files) so pathological
+    full-table merges can't blow up driver memory on ``collect_set``.
+    """
     parent = table.current_snapshot_id()
-    manifest = table.manifest_df(spark)
     src = _prepare_source(source_df, duplicate_policy, salt).persist()
     try:
         return _merge(
-            spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_after_units
+            spark, table, src, parent, duplicate_policy, job_id,
+            max_touched_files, _fail_after_units,
         )
     finally:
         src.unpersist()
 
 
-def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_after_units):
+def _merge(spark, table, src, parent, duplicate_policy, job_id,
+           max_touched_files, _fail_after_units):
     job_tag = job_id or f"merge-snap{parent}"
     log = LineageLog(table.root, job_tag)
+    prior = log.committed()
+    if prior is not None:
+        # Replayed job (e.g. a foreachBatch batch rerun after a crash in
+        # the window between table commit and the stream checkpoint
+        # write): this job's manifest rows are already committed.
+        # Re-committing would union them a second time. Idempotent return.
+        logger.info("merge job %s already committed snapshot %s; replay is a no-op",
+                    job_tag, prior.get("snapshot_id"))
+        return {k: v for k, v in prior.items()
+                if k not in ("event", "job_id", "timestamp_ms")}
     done = log.completed_units()
 
     # 1. PROFILE + PRUNE — ONE agg over the persisted source yields the
@@ -165,15 +187,19 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
             f"source has duplicate doc_id (e.g. {ex[0]['doc_id']}); "
             "pass duplicate_policy='last' to dedupe"
         )
-    cand = manifest.filter(
-        (F.col("max_doc_id") >= prof.lo) & (F.col("min_doc_id") <= prof.hi)
-    )
+    # Candidate pruning over DRIVER-SIDE manifest records (pyarrow footer
+    # path for small manifests — no Spark job; distributed collect above
+    # SMALL_MANIFEST_ROWS, see metadata.manifest_records).
     with _Phase("candidate_collect"):
-        cand_rows = cand.select("file_path", "partition").collect()
+        cand_rows = [
+            r for r in table.manifest_records(spark, parent)
+            if r["max_doc_id"] is not None and r["min_doc_id"] is not None
+            and r["max_doc_id"] >= prof.lo and r["min_doc_id"] <= prof.hi
+        ]
     cand_by_part: dict[str, list[str]] = defaultdict(list)
     for r in cand_rows:
-        cand_by_part[r.partition].append(r.file_path)
-    cand_files = [r.file_path for r in cand_rows]
+        cand_by_part[r["partition"]].append(r["file_path"])
+    cand_files = [r["file_path"] for r in cand_rows]
 
     # 2. PROBE — column-pruned scan of candidates (doc_id only) joined
     # to the source keys. ONE grouped collect returns both the
@@ -199,12 +225,26 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
             matched.groupBy("_op")
             .agg(
                 F.countDistinct("doc_id").alias("n"),
-                F.collect_set("file_path").alias("files"),
+                # slice executor-side so at most cap+1 paths ever reach
+                # the driver, however many files the merge touches
+                F.slice(
+                    F.collect_set("file_path"), 1, max_touched_files + 1
+                ).alias("files"),
             )
             .collect()
         )
-    touched_files = {f for r in probe_rows for f in r.files}
     op_counts = {r._op: r.n for r in probe_rows}
+    if any(len(r.files) > max_touched_files for r in probe_rows):
+        # partition-granular fallback: rewrite every candidate file in
+        # place of the (too large to plan file-exactly) touched set —
+        # same results, bounded driver memory
+        logger.warning(
+            "merge touches >%d files; falling back to partition-granular "
+            "rewrite over %d candidate files", max_touched_files, len(cand_files)
+        )
+        touched_files = set(cand_files)
+    else:
+        touched_files = {f for r in probe_rows for f in r.files}
 
     # EFFECTIVE rewrite source: only rows whose key matched a target row
     # (inserts never join the rewrite), and delete rows shed their
@@ -330,6 +370,14 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
         pairs = []
         for d in sorted(ins_dir.glob("_part=*")):
             part_val = unquote(d.name.split("=", 1)[1])
+            if part_val == "__HIVE_DEFAULT_PARTITION__":
+                # a null `source` would otherwise be read back as the
+                # literal marker string and silently diverge from the
+                # row's actual (null) column — refuse to fabricate it
+                raise ValueError(
+                    "merge source contains rows with null `source` "
+                    "(partition column); inserts must carry a partition value"
+                )
             pairs.extend((f, part_val) for f in list_parquet_files(d))
         stats = [r.asDict() for r in file_stats_df(spark, pairs).collect()]
         n_ins = sum(s["record_count"] for s in stats)
@@ -347,14 +395,15 @@ def _merge(spark, table, manifest, src, parent, duplicate_policy, job_id, _fail_
     for rec in done.values():
         for k in metrics:
             metrics[k] += rec["metrics"].get(k, 0)
-    removed_df = spark.createDataFrame([(f,) for f in removed] or [], "file_path string")
-    new_manifest = manifest.join(F.broadcast(removed_df), "file_path", "left_anti")
-    if new_rows:
-        new_manifest = new_manifest.unionByName(spark.createDataFrame(new_rows, MANIFEST_SCHEMA))
     summary = {**metrics, "files_rewritten": len(removed), "files_written": len(new_rows),
                "candidate_files": len(cand_files), "touched_files": len(touched_files)}
     with _Phase("commit"):
-        sid = table.commit(new_manifest, operation="merge", summary=summary, parent_id=parent)
+        # manifest-delta commit: driver-side pyarrow for small manifests
+        # (zero Spark jobs), distributed anti-join + union above the
+        # SMALL_MANIFEST_ROWS threshold (metadata.commit_delta)
+        sid = table.commit_delta(
+            spark, removed, new_rows, operation="merge", summary=summary, parent_id=parent
+        )
     log.log_event("committed", snapshot_id=sid, **summary)
     return {"snapshot_id": sid, **summary}
 

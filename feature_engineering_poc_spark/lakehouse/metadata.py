@@ -33,6 +33,7 @@ import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # The target table schema (BASELINE.json input_hint).
@@ -63,6 +64,26 @@ MANIFEST_SCHEMA = T.StructType(
 )
 
 
+def _manifest_arrow_schema():
+    """MANIFEST_SCHEMA as a pyarrow schema (driver-side manifest IO)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("file_path", pa.string(), nullable=False),
+            pa.field("partition", pa.string()),
+            pa.field("record_count", pa.int64()),
+            pa.field("file_bytes", pa.int64()),
+            pa.field("min_doc_id", pa.string()),
+            pa.field("max_doc_id", pa.string()),
+            pa.field("min_n_tok", pa.int32()),
+            pa.field("max_n_tok", pa.int32()),
+            pa.field("min_zkey", pa.int64()),
+            pa.field("max_zkey", pa.int64()),
+        ]
+    )
+
+
 class SnapshotConflict(RuntimeError):
     """Raised when a commit loses the CAS race on the VERSION pointer."""
 
@@ -70,6 +91,13 @@ class SnapshotConflict(RuntimeError):
 # A commit's critical section is two metadata writes (~ms); a lock this
 # old belongs to a crashed process and is safe to break.
 LOCK_STALE_S = 30.0
+
+# Manifests at or below this row count (≈ file count) are planned and
+# committed DRIVER-SIDE with pyarrow — zero Spark jobs. ~100k rows is a
+# few MB of footer metadata; above it the distributed path takes over.
+# Iceberg makes the same split: driver-side manifest planning for
+# normal tables, distributed planning only for metadata at data scale.
+SMALL_MANIFEST_ROWS = 100_000
 
 
 def _read_lock(lock: "Path") -> str:
@@ -149,7 +177,44 @@ class TokenTable:
 
     def data_files(self, spark: SparkSession, snapshot_id: int | None = None) -> list[str]:
         """File list of a snapshot. Driver-side planning, like Iceberg's."""
-        return [r.file_path for r in self.manifest_df(spark, snapshot_id).select("file_path").collect()]
+        return [r["file_path"] for r in self.manifest_records(spark, snapshot_id)]
+
+    def _manifest_files(self, snapshot_id: int | None = None) -> list[str]:
+        snap = self.snapshot(snapshot_id)
+        if snap["manifest"] is None:
+            return []
+        return list_parquet_files(self.root / snap["manifest"])
+
+    def manifest_row_count(self, snapshot_id: int | None = None) -> int:
+        """Snapshot file count from the manifest parquet FOOTERS only —
+        driver-side metadata reads, no Spark job, no data pages."""
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in self._manifest_files(snapshot_id))
+
+    def manifest_records(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> list[dict]:
+        """Manifest rows for driver planning, as dicts.
+
+        Small manifests (≤ SMALL_MANIFEST_ROWS, known from footers) are
+        read driver-side with pyarrow — zero Spark jobs on the planning
+        path, which is a constant serial term in every maintenance op.
+        Big manifests fall back to a distributed read + collect (the
+        caller is planning, so the rows land on the driver either way —
+        exactly Iceberg's planning model).
+        """
+        files = self._manifest_files(snapshot_id)
+        if not files:
+            return []
+        if self.manifest_row_count(snapshot_id) <= SMALL_MANIFEST_ROWS:
+            import pyarrow.parquet as pq
+
+            out: list[dict] = []
+            for f in files:
+                out.extend(pq.read_table(f).to_pylist())
+            return out
+        return [r.asDict() for r in self.manifest_df(spark, snapshot_id).collect()]
 
     def scan(
         self,
@@ -213,6 +278,92 @@ class TokenTable:
         # must not share manifest paths (the CAS loser would clobber the
         # winner's committed manifest).
         manifest_rel = self.write_manifest(manifest_df, f"{new_id}-{uuid.uuid4().hex[:8]}")
+        return self._publish(manifest_rel, expected_parent, new_id, operation, summary)
+
+    def commit_delta(
+        self,
+        spark: SparkSession,
+        removed_files: list[str],
+        new_rows: list[dict],
+        operation: str,
+        summary: dict | None = None,
+        parent_id: int | None = None,
+    ) -> int:
+        """Commit ``parent manifest − removed_files + new_rows`` atomically.
+
+        The manifest-delta shape every maintenance op produces. When the
+        parent manifest is small (footer row count ≤ SMALL_MANIFEST_ROWS),
+        the new manifest is assembled and written DRIVER-SIDE with
+        pyarrow — zero Spark jobs on the commit path, which together with
+        ``manifest_records`` removes the constant per-commit serial term
+        that capped scaling efficiency. Big manifests keep the
+        distributed anti-join + union + write.
+        """
+        expected_parent = self.current_snapshot_id() if parent_id is None else parent_id
+        new_id = expected_parent + 1
+        rel = f"metadata/manifest-{new_id}-{uuid.uuid4().hex[:8]}"
+        parent_files = self._manifest_files(expected_parent)
+        if self.manifest_row_count(expected_parent) + len(new_rows) <= SMALL_MANIFEST_ROWS:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            schema = _manifest_arrow_schema()
+            removed = {_strip_scheme(f) for f in removed_files}
+            keep: list[dict] = []
+            for f in parent_files:
+                keep.extend(
+                    r
+                    for r in pq.read_table(f).to_pylist()
+                    if _strip_scheme(r["file_path"]) not in removed
+                )
+            cols = [f.name for f in MANIFEST_SCHEMA.fields]
+            rows = keep + [{c: r.get(c) for c in cols} for r in new_rows]
+            tbl = pa.Table.from_pylist(rows, schema=schema)
+            out_dir = self.root / rel
+            out_dir.mkdir(parents=True, exist_ok=True)
+            pq.write_table(tbl, out_dir / "part-00000.parquet")
+        else:
+            manifest = self.manifest_df(spark, expected_parent)
+            removed_df = spark.createDataFrame(
+                [(f,) for f in removed_files] or [], "file_path string"
+            )
+            new_manifest = manifest.join(
+                F.broadcast(removed_df), "file_path", "left_anti"
+            )
+            if new_rows:
+                new_manifest = new_manifest.unionByName(
+                    spark.createDataFrame(new_rows, MANIFEST_SCHEMA)
+                )
+            (
+                new_manifest.select([f.name for f in MANIFEST_SCHEMA.fields])
+                .write.mode("overwrite")
+                .parquet(str(self.root / rel))
+            )
+        return self._publish(rel, expected_parent, new_id, operation, summary)
+
+    def _publish(
+        self,
+        manifest_rel: str,
+        expected_parent: int,
+        new_id: int,
+        operation: str,
+        summary: dict | None,
+    ) -> int:
+        """The locked CAS critical section shared by both commit paths.
+
+        Locking protocol (single-writer with crash recovery):
+        - acquire: O_EXCL create of COMMIT.lock carrying a UNIQUE token;
+        - stale break: a lock older than LOCK_STALE_S is stolen by
+          atomically ``os.rename``-ing it aside — rename has exactly one
+          winner, so two waiters can never both clear the path (the old
+          unlink-based break let waiter B delete waiter A's fresh lock).
+          The thief re-reads the renamed file and, if the token is NOT
+          the one it observed as stale (the pathological window where the
+          rename landed on a just-recreated lock), renames it back;
+        - fence: before the two metadata writes the committer re-reads
+          the lock and verifies its own token — a stolen lock aborts the
+          commit (SnapshotConflict) instead of double-publishing.
+        """
         snap = {
             "snapshot_id": new_id,
             "parent_id": expected_parent,
@@ -222,6 +373,7 @@ class TokenTable:
             "summary": summary or {},
         }
         lock = self.meta_dir / "COMMIT.lock"
+        token = f"pid={os.getpid()} token={uuid.uuid4().hex}"
         fd = None
         committed = False
         try:
@@ -229,15 +381,23 @@ class TokenTable:
             while True:
                 try:
                     fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.write(fd, f"pid={os.getpid()} ts={time.time():.3f}\n".encode())
+                    os.write(fd, token.encode())
+                    os.fsync(fd)
                     break
                 except FileExistsError:
-                    # Break locks abandoned by a crashed committer: the
-                    # critical section is two tiny metadata writes, so a
-                    # lock older than LOCK_STALE_S has no live owner.
                     try:
+                        observed = _read_lock(lock)
                         if time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
-                            os.unlink(lock)
+                            aside = lock.with_name(
+                                f"COMMIT.lock.stale-{uuid.uuid4().hex[:8]}"
+                            )
+                            os.rename(lock, aside)  # atomic: one thief wins
+                            if _read_lock(aside) == observed:
+                                os.unlink(aside)  # confirmed stale — gone
+                            else:
+                                # rename landed on a freshly recreated
+                                # lock — give it back and keep waiting
+                                os.rename(aside, lock)
                             continue
                     except FileNotFoundError:
                         continue
@@ -248,6 +408,11 @@ class TokenTable:
                             f"delete the lock file manually)"
                         )
                     time.sleep(0.05)
+            # fence: abort if our lock was stolen between create and here
+            if _read_lock(lock) != token:
+                raise SnapshotConflict(
+                    f"commit lock stolen mid-commit (now held by {_read_lock(lock)})"
+                )
             if self.current_snapshot_id() != expected_parent:
                 raise SnapshotConflict(
                     f"expected parent {expected_parent}, VERSION moved to "
@@ -260,7 +425,8 @@ class TokenTable:
             if fd is not None:
                 os.close(fd)
                 try:
-                    os.unlink(lock)
+                    if _read_lock(lock) == token:  # never delete a thief's lock
+                        os.unlink(lock)
                 except FileNotFoundError:
                     pass
             if not committed:
@@ -272,6 +438,10 @@ class TokenTable:
                         p.unlink()
                     mdir.rmdir()
         return new_id
+
+
+def _strip_scheme(p: str) -> str:
+    return p.removeprefix("file://").removeprefix("file:")
 
 
 def _atomic_write(path: Path, content: str) -> None:
