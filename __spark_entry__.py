@@ -631,6 +631,54 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation breadth: exact count(DISTINCT) per group
+    (oracle-checked), plus an in-plan sanity bit that Spark's HLL
+    approx_count_distinct lands within 10% of the exact count (both
+    engines emit the literal-true column; Spark's is computed)."""
+    spark = _cfg(spark)
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.countDistinct("o_orderdate").alias("distinct_dates"),
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long"),
+        F.col("distinct_customers").cast("long"),
+        F.col("distinct_dates").cast("long"),
+        (
+            F.abs(F.col("approx_customers") - F.col("distinct_customers"))
+            <= 0.1 * F.col("distinct_customers")
+        ).alias("approx_within_10pct"),
+    )
+
+
+def q_outer_join_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: customers (with a deterministic subset
+    removed so both unmatched sides are non-empty) vs order owners —
+    coverage buckets with key and order counts."""
+    spark = _cfg(spark)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    status = (
+        F.when(c["c_custkey"].isNotNull() & o["o_custkey"].isNotNull(), "matched")
+        .when(o["o_custkey"].isNull(), "customer_without_orders")
+        .otherwise("order_without_customer")
+    )
+    return (
+        j.select(status.alias("status"), F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("n_orders").cast("long").alias("total_orders"),
+        )
+    )
+
+
 def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming→lakehouse ingestion (rows-only: stateful multi-batch
     pipeline): two files drained via foreachBatch MERGE, one snapshot
@@ -752,7 +800,11 @@ def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz www qqq")).alias("text"),
     )
-    out = dedup.ngram_jaccard_pairs(docs.unionByName(planted), n=3, threshold=0.5)
+    # hot-shingle cap passed EXPLICITLY (function default is exact/uncapped);
+    # the oracle's `hot` CTE mirrors this same cap
+    out = dedup.ngram_jaccard_pairs(
+        docs.unionByName(planted), n=3, threshold=0.5, max_shingle_df=1000
+    )
     return out.select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"),
         F.col("inter_size").cast("long"), F.col("union_size").cast("long"),
@@ -825,15 +877,30 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — rows-only (bucketing is seeded-random)."""
+    """Approximate ANN — rows-only (bucketing is seeded-random), but
+    SELF-VERIFYING: every row carries the global recall-vs-brute-force
+    as an integer permille, computed inside the same plan (both
+    pipelines are deterministic given the seed; no driver-side
+    actions). tests assert the floor (test_functions.py)."""
     emb = _t(_cfg(spark), sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.lsh_topk(emb, queries, k=10, n_planes=6, probe_hamming=2)
-    return out.select(
+    lsh = similarity.lsh_topk(emb, queries, k=10, n_planes=6, probe_hamming=2)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    hits = lsh.select("query_id", "vec_id").intersect(exact.select("query_id", "vec_id"))
+    recall = (
+        hits.agg(F.count("*").alias("h"))
+        .crossJoin(exact.agg(F.count("*").alias("t")))
+        .select(
+            F.round(F.lit(1000.0) * F.col("h") / F.col("t"))
+            .cast("long")
+            .alias("recall_permille")
+        )
+    )
+    return lsh.crossJoin(F.broadcast(recall)).select(
         F.col("query_id").cast("long"), F.col("rank").cast("long"),
-        F.col("vec_id").cast("long"),
+        F.col("vec_id").cast("long"), "recall_permille",
     )
 
 
@@ -1000,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs": q_window_funcs,
         "pivot_spend": q_pivot_spend,
         "order_percentiles": q_order_percentiles,
+        "distinct_counts": q_distinct_counts,
+        "outer_join_recon": q_outer_join_recon,
         "stream_merge": q_stream_merge,
         "set_ops_users": q_set_ops_users,
         "sessionization": q_sessionization,
@@ -1418,6 +1487,28 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "distinct_counts": """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
+       CAST(count(DISTINCT o_orderdate) AS BIGINT) AS distinct_dates,
+       TRUE AS approx_within_10pct
+FROM orders
+GROUP BY o_orderpriority
+""",
+        "outer_join_recon": """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
+     o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+     j AS (SELECT c.c_custkey, o.o_custkey, coalesce(o.n_orders, 0) AS n_orders
+           FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
+SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'matched'
+            WHEN o_custkey IS NULL THEN 'customer_without_orders'
+            ELSE 'order_without_customer' END AS status,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_orders) AS BIGINT) AS total_orders
+FROM j
+GROUP BY 1
 """,
         "window_funcs": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

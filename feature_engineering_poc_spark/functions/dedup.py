@@ -63,22 +63,27 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Default semantics are EXACT over all shingles — consistent with the
+    LSH verify path (minhash_lsh_pairs), which scores candidates over
+    full shingle sets; the hot-shingle cap below is opt-in.
 
     Inverted-index join: |A∩B| = number of co-occurring distinct
     shingles; |A∪B| = |A| + |B| − |A∩B|. Returns
     (id_a, id_b, inter_size, union_size, jaccard_pct) with id_a < id_b.
 
-    ``max_shingle_df`` drops shingles whose document frequency exceeds
-    the cap BEFORE the self-join (sizes are computed over the same
-    reduced shingle universe, so Jaccard stays internally consistent).
-    Without it, one corpus-wide stop-phrase shingle shared by k docs
-    emits k²/2 join rows into a single bucket — the classic inverted-
-    index blowup. High-DF shingles carry almost no signal for
-    Jaccard ≥ 0.5 decisions. None disables the cap (exact semantics
-    over all shingles).
+    ``max_shingle_df`` (opt-in) drops shingles whose document frequency
+    exceeds the cap BEFORE the self-join (sizes are computed over the
+    same reduced shingle universe, so Jaccard stays internally
+    consistent — but values can differ from the exact default, so the
+    cap is never silently applied). Without it, one corpus-wide
+    stop-phrase shingle shared by k docs emits k²/2 join rows into a
+    single bucket — the classic inverted-index blowup; high-DF shingles
+    carry almost no signal for Jaccard ≥ 0.5 decisions, so AT SCALE
+    callers should pass a cap explicitly (the driver query uses 1000).
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")

@@ -8,14 +8,21 @@ left TODO in the reference (:90-96) — implemented here behind
 ``check_types=True``.
 
 Format default: the reference defaults unknown/absent types to delta
-(:57-58); offline we default to parquet.
+(DatabricksSparkSource.scala:57-58); offline both sides of this repo
+map delta→parquet with a log line (the sink has always done so —
+sinks/__init__.py:3-5 — and the reader now mirrors it, so a
+``.delta``-suffixed location is readable without the Delta jar).
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config.models import SourceDefinition
+
+logger = logging.getLogger(__name__)
 
 _PATH_FORMATS = {"parquet", "csv", "json", "delta", "orc"}
 
@@ -43,6 +50,12 @@ def read_source(
         fmt = (source.type or "").lower()
         if fmt not in _PATH_FORMATS:
             fmt = "delta" if source.location.endswith(".delta") else "parquet"
+        if fmt == "delta":
+            # offline parity with the sink's delta→parquet mapping: the
+            # Delta jar isn't available here, and parquet is delta's
+            # physical layout for plain reads
+            logger.info("delta source %s read as parquet (offline)", source.name)
+            fmt = "parquet"
         reader = spark.read.format(fmt)
         if fmt == "csv":
             reader = reader.option("header", "true").option("inferSchema", "true")

@@ -141,6 +141,20 @@ def test_read_source_location_scan(spark, kv_parquet):
     assert df.count() == 3
 
 
+def test_read_source_delta_location_offline(spark, tmp_path):
+    """A .delta-suffixed location reads offline via the same
+    delta→parquet mapping the sink documents (parity:
+    DatabricksSparkSource.scala:57-58 defaults unknown types to delta)."""
+    path = str(tmp_path / "events.delta")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(path)
+    # explicit type=delta AND inferred-from-suffix both work
+    for sd in (
+        SourceDefinition(name="ev", version="1", type="delta", location=path),
+        SourceDefinition(name="ev", version="1", type="unknown_fmt", location=path),
+    ):
+        assert read_source(spark, sd).count() == 2
+
+
 def test_read_source_query(spark, kv_parquet):
     spark.read.parquet(kv_parquet).createOrReplaceTempView("kv_view")
     sd = SourceDefinition.from_dict(

@@ -35,6 +35,17 @@ def test_registry_consistency():
     }
 
 
+def test_ann_lsh_driver_query_self_verifying(spark):
+    """The ann_lsh_topk driver row carries recall-vs-brute-force as a
+    permille column computed in-plan; floor asserted here (both
+    pipelines deterministic given the seed)."""
+    rows = entrymod.queries()["ann_lsh_topk"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "lsh returned no rows"
+    permilles = {r.recall_permille for r in rows}
+    assert len(permilles) == 1  # one global value stamped on every row
+    assert permilles.pop() >= 500
+
+
 def test_asof_join_semantics(spark):
     """Unit-level as-of join (also oracle-verified vs DuckDB ASOF JOIN)."""
     from feature_engineering_poc_spark.functions.joins import asof_join

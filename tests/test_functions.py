@@ -269,18 +269,102 @@ def test_ppm_codec_roundtrip():
 
 
 def test_real_codec_media_pipeline(spark):
-    """e2e: generated wav/ppm payloads decode for REAL (fake=False) via
-    the same mapInPandas path; deterministic across runs."""
+    """e2e: all five formats (wav/ppm content decode, jpeg/mp3/mp4
+    header-metadata decode) flow through the same mapInPandas path with
+    fake=False; deterministic across runs."""
     from feature_engineering_poc_spark.functions import multimodal as mm
 
     media = mm.synthetic_codec_media_df(spark, n=30, seed=7)
     rows = mm.extract_features(media, feature_dim=12, fake=False).collect()
     assert len(rows) == 30
-    assert {r.modality for r in rows} == {"audio", "image"}
+    assert {r.modality for r in rows} == {"audio", "image", "video"}
     assert all(len(r.feature) == 12 for r in rows)
-    # audio rows carry the sample rate in feat[0] (kHz)
-    audio = [r for r in rows if r.modality == "audio"]
-    assert all(abs(r.feature[0] - 8.0) < 1e-6 for r in audio)
+    by_id = {r.media_id: r for r in rows}
+    # wav rows (id%5==0) carry the sample rate in feat[0] (kHz)
+    assert all(abs(by_id[i].feature[0] - 8.0) < 1e-6 for i in range(0, 30, 5))
+    # mp3 rows (id%5==3): 44.1 kHz header sample rate
+    assert all(abs(by_id[i].feature[0] - 44.1) < 1e-3 for i in range(3, 30, 5))
+    # mp4 rows (id%5==4): duration ≥ 5 s from mvhd
+    assert all(by_id[i].feature[0] >= 5.0 for i in range(4, 30, 5))
     again = mm.extract_features(mm.synthetic_codec_media_df(spark, n=30, seed=7),
                                 feature_dim=12, fake=False).collect()
     assert {r.media_id: r.feature for r in rows} == {r.media_id: r.feature for r in again}
+
+
+def test_jpeg_header_decode():
+    """SOF0 dims recovered exactly; non-JPEG bytes rejected."""
+    import pytest
+
+    from feature_engineering_poc_spark.functions import multimodal as mm
+
+    feat, meta = mm.decode_jpeg_header(mm.make_jpeg_bytes(1920, 1080), feature_dim=6)
+    assert meta == {"width": 1920, "height": 1080, "components": 3}
+    assert abs(feat[0] - 1.92) < 1e-6 and abs(feat[1] - 1.08) < 1e-6
+    assert feat[2] == 3.0
+    # greyscale single-component
+    _, meta1 = mm.decode_jpeg_header(mm.make_jpeg_bytes(64, 32, components=1), 4)
+    assert meta1 == {"width": 64, "height": 32, "components": 1}
+    with pytest.raises(ValueError, match="SOI"):
+        mm.decode_jpeg_header(b"\x00\x01\x02", 4)
+    with pytest.raises(ValueError, match="SOF"):
+        mm.decode_jpeg_header(b"\xff\xd8\xff\xd9", 4)
+
+
+def test_mp3_header_decode():
+    """Frame header → sample rate + bitrate; CBR duration estimate is
+    exact by construction; leading ID3v2 tags are skipped."""
+    import pytest
+
+    from feature_engineering_poc_spark.functions import multimodal as mm
+
+    payload = mm.make_mp3_bytes(duration_s=10.0, kbps=128, sr=44100)
+    feat, meta = mm.decode_mp3_header(payload, feature_dim=6)
+    assert meta["sample_rate"] == 44100 and meta["bitrate_kbps"] == 128
+    assert abs(meta["duration_ms"] - 10_000) <= 1
+    assert abs(feat[0] - 44.1) < 1e-3 and abs(feat[1] - 10.0) < 1e-3
+    # ID3v2 prefix: 100 bytes of tag (syncsafe size), then the frame
+    tagged = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100 + payload
+    _, meta2 = mm.decode_mp3_header(tagged, feature_dim=6)
+    assert meta2["sample_rate"] == 44100 and meta2["bitrate_kbps"] == 128
+    with pytest.raises(ValueError, match="sync"):
+        mm.decode_mp3_header(b"\x00" * 64, 4)
+
+
+def test_mp4_header_decode():
+    """moov/mvhd timescale + duration recovered exactly."""
+    import pytest
+
+    from feature_engineering_poc_spark.functions import multimodal as mm
+
+    feat, meta = mm.decode_mp4_header(mm.make_mp4_bytes(42.5, timescale=600), 4)
+    assert meta == {"duration_ms": 42500, "timescale": 600}
+    assert abs(feat[0] - 42.5) < 1e-3
+    with pytest.raises(ValueError, match="moov"):
+        mm.decode_mp4_header(b"\x00" * 32, 4)
+
+
+def test_wav_stereo_downmix():
+    """Stereo PCM16 decodes via channel-mean downmix: frame count and
+    RMS match the mono equivalent instead of mixing channels."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from feature_engineering_poc_spark.functions import multimodal as mm
+
+    sr, amp, freq = 8000, 0.5, 200.0
+    t = np.arange(sr) / sr
+    mono = amp * np.sin(2 * np.pi * freq * t)
+    pcm16 = (np.clip(mono, -1, 1) * 32767.0).astype("<i2")
+    stereo = np.column_stack([pcm16, pcm16]).reshape(-1)  # L==R interleaved
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(stereo.tobytes())
+    feat, meta = mm.decode_wav(buf.getvalue(), feature_dim=8)
+    assert meta["n_frames"] == sr
+    assert abs(feat[1] - 1.0) < 1e-6  # duration: frames, not samples
+    assert abs(feat[2] - amp / np.sqrt(2)) < 1e-3  # RMS of the downmix
