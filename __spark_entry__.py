@@ -969,9 +969,21 @@ def q_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = token_dataframe(spark, 50, seed=3, max_tok=16, id_offset=7_000_000).withColumn(
         "_op", F.lit("upsert")
     )
-    n_del_expected = deletes.count()
     r = merge_into(spark, t, updates.unionByName(deletes).unionByName(inserts))
-    rows_after = t.scan(spark).count()
+    # ONE verification action: expected-delete count (over the pinned
+    # pre-merge file set in `tgt`) and the post-merge row count ride the
+    # same job (the old version spent a separate count() on each)
+    verif = (
+        tgt.select(
+            F.when(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 1, 1)
+            .otherwise(0).alias("is_del"),
+            F.lit(0).alias("is_post"),
+        )
+        .unionByName(t.scan(spark).select(F.lit(0).alias("is_del"), F.lit(1).alias("is_post")))
+        .agg(F.sum("is_del").alias("n_del"), F.sum("is_post").alias("rows_after"))
+        .collect()[0]
+    )
+    n_del_expected, rows_after = int(verif.n_del), int(verif.rows_after)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)

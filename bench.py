@@ -222,6 +222,10 @@ def run_scaling(
     wall-clock benchmarks.
     """
     results: dict[int, dict] = {}
+    # every rep's throughput + the host load average at leg end are
+    # recorded so noise claims stay auditable (VM has noisy neighbors)
+    detail: dict[int, dict[str, list[float]]] = {}
+    loads: dict[int, list[float]] = {}
     for _ in range(reps):
         for cpus in (n_small, n_small * 4):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
@@ -239,6 +243,11 @@ def run_scaling(
                 )
             line = json_lines[-1]
             rec = json.loads(line)
+            loads.setdefault(cpus, []).append(round(os.getloadavg()[0], 1))
+            for op in ("compact", "merge", "cluster"):
+                detail.setdefault(cpus, {}).setdefault(op, []).append(
+                    rec["maintenance"][f"{op}_rows_per_sec"]
+                )
             prev = results.get(cpus)
             if prev is None:
                 results[cpus] = rec
@@ -255,7 +264,8 @@ def run_scaling(
         )
         for op in ("compact", "merge", "cluster")
     }
-    return {"n_small": n_small, "results": results, "efficiency": eff}
+    return {"n_small": n_small, "results": results, "efficiency": eff,
+            "detail": detail, "loads": loads}
 
 
 HISTORY_PATH = Path(__file__).parent / "BENCH" / "history.jsonl"
@@ -275,6 +285,15 @@ def write_baseline_md(scaling: dict, history: list[dict] | None = None) -> None:
     small = scaling["results"][n]["maintenance"]
     big = scaling["results"][n * 4]["maintenance"]
     eff = scaling["efficiency"]
+    detail = scaling.get("detail", {})
+    loads = scaling.get("loads", {})
+
+    def spread(cpus: int, op: str) -> str:
+        reps = detail.get(cpus, {}).get(op, [])
+        if len(reps) < 2:
+            return "—"
+        return f"±{round(100 * (max(reps) - min(reps)) / max(reps))}%"
+
     lines = [
         "# BENCH/BASELINE — maintenance throughput + scaling efficiency",
         "",
@@ -282,17 +301,28 @@ def write_baseline_md(scaling: dict, history: list[dict] | None = None) -> None:
         f"same input ({small['rows']} synthetic sequences, fresh JVM per level),",
         "shuffle partitions = cores, dedicated spark.local.dir, interleaved",
         "best-of-k reps per level. Efficiency = (tput_4N / tput_N) / 4.",
+        "Spread = (max−min)/max across this run's reps at that level.",
         "",
         "Representative run = the LATEST (current code):",
         "",
-        "| op | rows/sec @N | rows/sec @4N | scaling efficiency |",
-        "|---|---|---|---|",
+        "| op | rows/sec @N | spread @N | rows/sec @4N | spread @4N | scaling efficiency |",
+        "|---|---|---|---|---|---|",
     ]
     for op in ("compact", "merge", "cluster"):
         lines.append(
-            f"| {op} | {small[f'{op}_rows_per_sec']} | "
-            f"{big[f'{op}_rows_per_sec']} | {eff[op]} |"
+            f"| {op} | {small[f'{op}_rows_per_sec']} | {spread(n, op)} | "
+            f"{big[f'{op}_rows_per_sec']} | {spread(n * 4, op)} | {eff[op]} |"
         )
+    if detail:
+        lines += [
+            "",
+            "Per-rep throughputs (rows/sec) and 1-min load average at leg end:",
+            "",
+        ]
+        for cpus in sorted(detail):
+            for op in ("compact", "merge", "cluster"):
+                lines.append(f"- `local[{cpus}]` {op}: {detail[cpus][op]}")
+            lines.append(f"- `local[{cpus}]` load1 after each rep: {loads.get(cpus, [])}")
     lines += [
         "",
         f"Raw: N={n}: {json.dumps(small)}",
@@ -365,6 +395,8 @@ if __name__ == "__main__":
             "efficiency": scaling["efficiency"],
             "throughput_n": {op: small[f"{op}_rows_per_sec"] for op in ("compact", "merge", "cluster")},
             "throughput_4n": {op: big[f"{op}_rows_per_sec"] for op in ("compact", "merge", "cluster")},
+            "detail": scaling.get("detail", {}),
+            "loads": scaling.get("loads", {}),
             "note": os.environ.get("SPARK_GRAFT_NOTE", ""),
         })
         write_baseline_md(scaling, history)
