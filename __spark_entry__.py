@@ -377,6 +377,106 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + ungrouped agg — the canonical
+    predicate-pushdown/codegen probe (no join, no shuffle beyond the
+    final partial-agg exchange)."""
+    spark = _cfg(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("revenue_cents"), F.count("*").alias("n_items"))
+        .select("revenue_cents", F.col("n_items").cast("long"))
+    )
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returns per customer (4-way
+    join, quarter-scoped orders, returnflag filter). All qualifying
+    customers returned (no LIMIT: top-k boundary ties are
+    order-dependent; the driver compare is sort-insensitive)."""
+    spark = _cfg(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            _cents(F.col("c_acctbal")).alias("acctbal_cents"),
+            "n_name",
+        )
+        .agg(F.sum(rev).alias("revenue_cents"), F.count("*").alias("n_items"))
+        .select("c_custkey", "c_name", "acctbal_cents", "n_name",
+                "revenue_cents", F.col("n_items").cast("long"))
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the maximum quarter revenue —
+    the view + scalar-max-subquery pattern, expressed as an ungrouped
+    window max (one extra exchange, no self-join rescan)."""
+    spark = _cfg(spark)
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue_cents"))
+    w = Window.partitionBy()
+    best = per_supp.withColumn(
+        "max_rev", F.max("total_revenue_cents").over(w)
+    ).filter(F.col("total_revenue_cents") == F.col("max_rev"))
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long"), "s_name", "total_revenue_cents",
+        )
+    )
+
+
+def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: large-volume orders (HAVING sum(qty) > 150),
+    joined back to customer + order header."""
+    spark = _cfg(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long"),
+            F.col("o_orderkey").cast("long"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            F.round(F.col("qty")).cast("long").alias("total_qty"),
+        )
+    )
+
+
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for n in names:
         _t(spark, sf_dir, n).createOrReplaceTempView(f"v_{n}")
@@ -1073,6 +1173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q_q7_nation_volume,
         "q9_product_profit": q_q9_product_profit,
         "q22_dormant_customers": q_q22_dormant_customers,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q10_returned_items": q_q10_returned_items,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q18_large_volume": q_q18_large_volume,
         "json_props_stats": q_json_props_stats,
         "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
@@ -1449,6 +1553,59 @@ WHERE c_acctbal > 0
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 450000)
 GROUP BY c_mktsegment
+""",
+        "q6_forecast_revenue": """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "q10_returned_items": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+""",
+        "q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+           AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue_cents
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+""",
+        "q18_large_volume": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(round(qty) AS BIGINT) AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
 """,
         "q14_promo_revenue": """
 SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,

@@ -129,6 +129,22 @@ def run_maintenance(spark, n_rows: int) -> dict:
     cluster(spark, table, curve="zorder", target_file_bytes=BENCH_TARGET_BYTES)
     cluster_sec = time.time() - t0
 
+    # scaling legs skip the skewed-merge benchmark (it is not part of
+    # the N-vs-4N efficiency criterion and adds minutes per leg)
+    if os.environ.get("SPARK_GRAFT_SKIP_SKEWED") == "1":
+        shutil.rmtree(root, ignore_errors=True)
+        return {
+            "rows": n_rows,
+            "compact_sec": round(compact_sec, 3),
+            "compact_rows_per_sec": round(n_rows / compact_sec, 1),
+            "merge_sec": round(merge_sec, 3),
+            "merge_rows_per_sec": round(n_rows / merge_sec, 1),
+            "cluster_sec": round(cluster_sec, 3),
+            "cluster_rows_per_sec": round(n_rows / cluster_sec, 1),
+            "merge_skewed_sec": None,
+            "merge_skewed_rows_per_sec": None,
+        }
+
     # skewed MERGE: one hot doc_id repeated n/10 times in the source —
     # duplicate_policy="last" exercises the salted two-phase dedupe
     hot_doc = table.scan(spark).select("doc_id").orderBy("doc_id").limit(1).collect()[0].doc_id
@@ -229,7 +245,8 @@ def run_scaling(
     for _ in range(reps):
         for cpus in (n_small, n_small * 4):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                       SPARK_GRAFT_BENCH_ROWS=str(SCALING_ROWS))
+                       SPARK_GRAFT_BENCH_ROWS=str(SCALING_ROWS),
+                       SPARK_GRAFT_SKIP_SKEWED="1")
             out = subprocess.run(
                 [sys.executable, __file__, "--maintenance-only"],
                 capture_output=True, text=True, env=env, timeout=3600,
