@@ -1004,6 +1004,33 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — rows-only (k-means cells are
+    seeded-random), SELF-VERIFYING like ann_lsh_topk: global
+    recall-vs-brute-force stamped on every row as an integer permille,
+    computed inside the same plan."""
+    emb = _t(_cfg(spark), sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = similarity.ivf_topk(emb, queries, k=10, k_cells=16, nprobe=6)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    hits = ivf.select("query_id", "vec_id").intersect(exact.select("query_id", "vec_id"))
+    recall = (
+        hits.agg(F.count("*").alias("h"))
+        .crossJoin(exact.agg(F.count("*").alias("t")))
+        .select(
+            F.round(F.lit(1000.0) * F.col("h") / F.col("t"))
+            .cast("long")
+            .alias("recall_permille")
+        )
+    )
+    return ivf.crossJoin(F.broadcast(recall)).select(
+        F.col("query_id").cast("long"), F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"), "recall_permille",
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(_cfg(spark), sf_dir, "embeddings").select("vec_id", "embedding", "label")
     planted = emb.filter(F.col("vec_id") < 20).select(
@@ -1201,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "windowed_event_counts": q_windowed_event_counts,
         "lakehouse_compact": q_lakehouse_compact,

@@ -80,6 +80,115 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return sig
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side Lloyd (k-means) training of an IVF coarse quantizer
+    on a DETERMINISTIC hash-sample of the corpus.
+
+    This is the standard IVF recipe (FAISS trains its quantizer on a
+    sample too): training data is a bounded sample regardless of corpus
+    size — at 100 TB the sample collect is one top-N-by-hash job, and
+    the k×dim centroid matrix (KBs) broadcasts to every assigner task.
+    Fully deterministic: sample order = xxhash64(id, seed), init =
+    seeded choice, ties resolved by argmax's fixed order.
+    """
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h", "v")
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine == dot on normalized
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):  # empty cells keep their old centroid
+                C[j] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _ivf_cells_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: indices of the ``nprobe`` nearest coarse cells.
+    One numpy GEMM per Arrow batch against the broadcast centroid
+    matrix — no per-row Python."""
+    C = np.ascontiguousarray(centroids)
+
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        idx = np.argsort(-sims, kind="stable", axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_cells: int = 16,
+    nprobe: int = 4,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus rows
+    are binned by nearest coarse centroid; each query scores only the
+    rows in its ``nprobe`` nearest cells.
+
+    Scale shape: expected work per query ≈ n × nprobe / k_cells — the
+    cell join replaces the full scan, exactly like lsh_topk's bucket
+    join but with DATA-ADAPTIVE partitions (k-means cells follow the
+    embedding distribution, where hyperplane buckets are oblivious).
+    Recall/cost trades via k_cells (cell size) and nprobe.
+    """
+    C = train_ivf_centroids(
+        corpus, k_cells=k_cells, sample=sample, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    assign1 = _ivf_cells_udf(C, 1)
+    probe_n = _ivf_cells_udf(C, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"), _norm(vec_col).alias("cn"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(vec_col).alias("qn"),
+        F.explode(probe_n(F.col(vec_col))).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id", "vec_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id",
+                F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_1e6"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

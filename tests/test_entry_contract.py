@@ -28,6 +28,7 @@ def test_registry_consistency():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "ann_lsh_topk",  # seeded-random hyperplane buckets
+        "ann_ivf_topk",  # seeded k-means cells (self-verifying recall)
         "lakehouse_compact", "lakehouse_merge", "lakehouse_cluster",
         "multimodal_features",
         "multimodal_decode",  # numpy wave/image synthesis isn't SQL
@@ -35,12 +36,16 @@ def test_registry_consistency():
     }
 
 
-def test_ann_lsh_driver_query_self_verifying(spark):
-    """The ann_lsh_topk driver row carries recall-vs-brute-force as a
+import pytest
+
+
+@pytest.mark.parametrize("qname", ["ann_lsh_topk", "ann_ivf_topk"])
+def test_ann_driver_queries_self_verifying(spark, qname):
+    """The approximate-ANN driver rows carry recall-vs-brute-force as a
     permille column computed in-plan; floor asserted here (both
     pipelines deterministic given the seed)."""
-    rows = entrymod.queries()["ann_lsh_topk"](spark, "/root/testdata/sf0.001").collect()
-    assert rows, "lsh returned no rows"
+    rows = entrymod.queries()[qname](spark, "/root/testdata/sf0.001").collect()
+    assert rows, f"{qname} returned no rows"
     permilles = {r.recall_permille for r in rows}
     assert len(permilles) == 1  # one global value stamped on every row
     assert permilles.pop() >= 500

@@ -210,6 +210,36 @@ def test_lsh_topk_recall(spark, emb):
     assert all((qid, qid) in a for qid in {r.query_id for r in exact.collect()})
 
 
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    corpus = emb.limit(200)
+    queries = corpus.filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(corpus, queries, k=5)
+    approx = similarity.ivf_topk(corpus, queries, k=5, k_cells=8, nprobe=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # near-orthogonal synthetic noise: recall tracks probed-cell mass
+    # (nprobe/k_cells = 1/2 of the corpus scored); clustered real
+    # embeddings concentrate neighbors in fewer cells and do better
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every query is in one of its own nprobe cells → finds itself
+    assert all((qid, qid) in a for qid in {q for q, _ in e})
+    # seeded training + stable argsort ⇒ bit-identical rerun
+    again = {(r.query_id, r.rank, r.vec_id)
+             for r in similarity.ivf_topk(corpus, queries, k=5, k_cells=8, nprobe=4).collect()}
+    assert again == {(r.query_id, r.rank, r.vec_id) for r in approx.collect()}
+
+
+def test_ivf_centroids_deterministic_and_normalized(spark, emb):
+    C1 = similarity.train_ivf_centroids(emb.limit(300), k_cells=8, sample=128, iters=3)
+    C2 = similarity.train_ivf_centroids(emb.limit(300), k_cells=8, sample=128, iters=3)
+    assert np.array_equal(C1, C2)
+    assert C1.shape == (8, len(emb.select("embedding").first().embedding))
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+
+
 def test_multimodal_feature_extraction(spark):
     from feature_engineering_poc_spark.functions import multimodal as mm
 
