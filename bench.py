@@ -302,6 +302,99 @@ def run_scaling(
             "efficiency_median": eff_median, "detail": detail, "loads": loads}
 
 
+def run_scaling_compact_deep(
+    rows: int = int(os.environ.get("SPARK_GRAFT_DEEP_ROWS", "64000000")),
+    n_small: int = SCALING_N,
+    reps: int = 3,
+) -> dict:
+    """Compaction-only scaling at a deeper input size.
+
+    At 16M rows the grouped-job compactor finishes in ~4.5 s on 4
+    cores, so the ~2 s per-job constant (JVM job submission, python
+    worker spin-up) is ~40% of the leg — the ratio measures overhead,
+    not the operator. This mode amortizes it the way production does:
+    more data per job. The 18 GB input table is written ONCE at full
+    parallelism (table build is not the system under test) and each
+    leg gets a hardlink copy (`cp -al`: parquet data files are
+    immutable and only read; metadata files are tiny). Each timed leg
+    is a fresh `local[c]` JVM running ONLY compact.
+    """
+    import shutil as _sh
+
+    base = tempfile.mkdtemp(prefix="fepoc_deep_")
+    tbl_dir = os.path.join(base, "tbl")
+    build = subprocess.run(
+        [sys.executable, "-c", (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from feature_engineering_poc_spark.session import get_session\n"
+            "from feature_engineering_poc_spark.lakehouse import write_token_table\n"
+            "spark = get_session(parallelism=%d)\n"
+            "write_token_table(spark, %r, n_rows=%d, files_per_source=256, max_tok=256, persist=False)\n"
+            "spark.stop()\n"
+        ) % (str(Path(__file__).parent), CPUS, tbl_dir, rows)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if build.returncode != 0:
+        raise RuntimeError("deep table build failed:\n" + build.stderr[-2000:])
+
+    leg_src = (
+        "import sys, time, json, shutil, os; sys.path.insert(0, %(repo)r)\n"
+        "from feature_engineering_poc_spark.session import get_session\n"
+        "from feature_engineering_poc_spark.lakehouse import TokenTable\n"
+        "from feature_engineering_poc_spark.lakehouse.compaction import compact\n"
+        "local = %(local)r\n"
+        "spark = get_session(parallelism=%(cpus)d, extra_conf={'spark.local.dir': local})\n"
+        "t = TokenTable(%(copy)r)\n"
+        "t0 = time.time(); r = compact(spark, t, target_file_bytes=%(target)d)\n"
+        "dt = time.time() - t0\n"
+        "print(json.dumps({'sec': dt, 'files': r['files_compacted']}))\n"
+        "spark.stop()\n"
+    )
+    detail: dict[int, list[float]] = {}
+    try:
+        for _ in range(reps):
+            for cpus in (n_small, n_small * 4):
+                copy = os.path.join(base, f"copy{cpus}")
+                subprocess.run(["cp", "-al", tbl_dir, copy], check=True)
+                local = tempfile.mkdtemp(prefix=f"fepoc_deep_local_{cpus}_")
+                out = subprocess.run(
+                    [sys.executable, "-c", leg_src % {
+                        "repo": str(Path(__file__).parent), "cpus": cpus,
+                        "copy": copy, "local": local,
+                        # 256 MB bins over 256 files/source: even the
+                        # skewed web partition's ~50 MB files sit well
+                        # under the threshold, so ALL bytes are compacted
+                        "target": 256 * 1024 * 1024,
+                    }],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                _sh.rmtree(copy, ignore_errors=True)
+                _sh.rmtree(local, ignore_errors=True)
+                lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+                if not lines:
+                    raise RuntimeError(
+                        f"deep leg cpus={cpus} failed:\n" + out.stderr[-2000:])
+                sec = json.loads(lines[-1])["sec"]
+                detail.setdefault(cpus, []).append(round(rows / sec, 1))
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+
+    def med(vals):
+        s = sorted(vals)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    small, big = detail[n_small], detail[n_small * 4]
+    return {
+        "rows": rows,
+        "detail": detail,
+        "efficiency_best": round(max(big) / max(small) / 4, 3),
+        "efficiency_median": round(med(big) / med(small) / 4, 3),
+        "throughput_n": max(small),
+        "throughput_4n": max(big),
+    }
+
+
 HISTORY_PATH = Path(__file__).parent / "BENCH" / "history.jsonl"
 
 
@@ -431,7 +524,33 @@ def write_baseline_md(scaling: dict, history: list[dict] | None = None) -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-compact" in sys.argv:
+        deep = run_scaling_compact_deep()
+        Path("BENCH").mkdir(exist_ok=True)
+        sc_path = Path("BENCH/scaling.json")
+        sc = json.loads(sc_path.read_text()) if sc_path.exists() else {}
+        sc["compact_deep"] = deep
+        sc_path.write_text(json.dumps(sc, indent=1))
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                "\n## Compaction deep run (input-amortized serial term)\n\n"
+                f"{deep['rows']} rows, table written once at full parallelism\n"
+                "and hardlink-copied per leg (the build is not the system\n"
+                "under test); each timed leg is a fresh local[c] JVM running\n"
+                "ONLY compact. At 16M rows the op finishes so fast on 4 cores\n"
+                "that the ~2s per-job constant dominates; production-sized\n"
+                "inputs amortize it, which is what this run shows.\n\n"
+                "| rows | rows/sec @N (best) | rows/sec @4N (best) | eff (best) | eff (median) |\n"
+                "|---|---|---|---|---|\n"
+                f"| {deep['rows'] // 1_000_000}M | {deep['throughput_n']} | "
+                f"{deep['throughput_4n']} | {deep['efficiency_best']} | "
+                f"{deep['efficiency_median']} |\n\n"
+                f"Per-rep rows/sec: {json.dumps(deep['detail'])}\n"
+            )
+        print(json.dumps({"metric": "compact_deep_scaling", "unit": "ratio",
+                          "value": {"best": deep["efficiency_best"],
+                                    "median": deep["efficiency_median"]}}))
+    elif "--scaling" in sys.argv:
         scaling = run_scaling()
         small, big = (scaling["results"][scaling["n_small"]]["maintenance"],
                       scaling["results"][scaling["n_small"] * 4]["maintenance"])

@@ -75,6 +75,7 @@ def write_token_table(
     seed: int = 42,
     min_tok: int = 8,
     max_tok: int = 512,
+    persist: bool = True,
 ) -> TokenTable:
     """Create a table at ``root`` populated with one 'append' snapshot.
 
@@ -87,7 +88,12 @@ def write_token_table(
     from concurrent.futures import ThreadPoolExecutor
 
     table = TokenTable.create(root)
-    df = token_dataframe(spark, n_rows, seed=seed, min_tok=min_tok, max_tok=max_tok).persist()
+    df = token_dataframe(spark, n_rows, seed=seed, min_tok=min_tok, max_tok=max_tok)
+    # persist=False for very large builds: caching deserialized token
+    # arrays costs ~10x their parquet size in heap; regenerating the
+    # deterministic hash-stream per source write is cheap JVM work
+    if persist:
+        df = df.persist()
     data_dir = table.new_data_dir("append-snap0")
 
     def write_source(source: str) -> list[tuple[str, str]]:
@@ -103,7 +109,8 @@ def write_token_table(
     with ThreadPoolExecutor(max_workers=len(SOURCES_SKEWED)) as ex:
         pairs = [p for fut in [ex.submit(write_source, s) for s, _ in SOURCES_SKEWED]
                  for p in fut.result()]
-    df.unpersist()
+    if persist:
+        df.unpersist()
     manifest = file_stats_df(spark, pairs)
     table.commit(manifest, operation="append", summary={"rows": n_rows, "files": len(pairs)})
     return table
