@@ -38,6 +38,38 @@ def test_q5_uses_broadcast_joins(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_q6_pushes_filters_into_scan(spark):
+    """The canonical filter+agg probe: every predicate must reach the
+    parquet scan as a pushed filter, and the read schema must carry
+    only the referenced columns."""
+    import __spark_entry__ as m
+
+    p = plan(m.q_q6_forecast_revenue(spark, SF_DIR))
+    pushed = p.split("PushedFilters")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q10_broadcasts_nation(spark):
+    import __spark_entry__ as m
+
+    p = plan(m.q_q10_returned_items(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p  # 25-row nation never shuffles
+    # returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_q15_single_window_exchange_and_broadcast(spark):
+    import __spark_entry__ as m
+
+    p = plan(m.q_q15_top_supplier(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p  # supplier dim broadcast
+    # the global-max window degenerates to ONE single-partition
+    # exchange over the per-supplier aggregates, not a data shuffle
+    assert p.count("Exchange SinglePartition") == 1
+
+
 def test_window_single_exchange(spark):
     import __spark_entry__ as m
 
