@@ -302,36 +302,128 @@ def run_scaling(
             "efficiency_median": eff_median, "detail": detail, "loads": loads}
 
 
-def run_scaling_compact_deep(
+# Per-op deep-run leg bodies. Each runs in a fresh local[c] JVM against
+# a hardlink copy of the pre-built table (and pre-built source parquet
+# for the merge variants — source construction is NOT the system under
+# test), times ONLY the maintenance op, and prints one JSON line.
+# Hardlink safety: legs only READ the shared-inode data files; every
+# write (new data dirs, new manifests, lineage logs, VERSION via
+# tmp+rename) creates fresh inodes in the copy, never mutating the
+# master through a shared inode.
+_DEEP_LEG = {
+    "compact": (
+        "t0 = time.time(); r = compact(spark, t, target_file_bytes=%(target)d)\n"
+        "dt = time.time() - t0\n"
+        "credited = %(rows)d\n"
+    ),
+    "cluster": (
+        "t0 = time.time(); r = cluster(spark, t, curve='zorder', target_file_bytes=%(target)d)\n"
+        "dt = time.time() - t0\n"
+        "credited = %(rows)d\n"
+    ),
+    "merge": (
+        "src = spark.read.parquet(%(src_dir)r).persist()\n"
+        "src.count()  # materialize OUTSIDE the timed region (suite parity)\n"
+        "t0 = time.time(); r = merge_into(spark, t, src)\n"
+        "dt = time.time() - t0\n"
+        "src.unpersist()\n"
+        "credited = %(rows)d\n"
+    ),
+    "merge_skewed": (
+        "src = spark.read.parquet(%(src_dir)r).persist()\n"
+        "n_src = src.count()\n"
+        "t0 = time.time(); r = merge_into(spark, t, src, duplicate_policy='last', salt=16)\n"
+        "dt = time.time() - t0\n"
+        "src.unpersist()\n"
+        "credited = n_src  # suite parity: skewed run credits source rows\n"
+    ),
+}
+
+# merge source construction (once, full parallelism): same mix as
+# run_maintenance — 10% updates + 5% deletes + 10% inserts.
+_DEEP_MERGE_SRC = (
+    "from pyspark.sql import functions as F\n"
+    "from feature_engineering_poc_spark.lakehouse import TokenTable\n"
+    "from feature_engineering_poc_spark.lakehouse.generator import token_dataframe\n"
+    "t = TokenTable(%(tbl)r)\n"
+    "tgt = t.scan(spark)\n"
+    "updates = tgt.filter(F.pmod(F.xxhash64('doc_id'), F.lit(10)) == 0).select(\n"
+    "    'doc_id', F.array(F.lit(1)).cast('array<int>').alias('tokens'),\n"
+    "    F.lit(1).cast('int').alias('n_tok'), 'source', F.lit('upsert').alias('_op'))\n"
+    "deletes = tgt.filter(F.pmod(F.xxhash64('doc_id'), F.lit(20)) == 1).select(\n"
+    "    'doc_id', 'tokens', 'n_tok', 'source', F.lit('delete').alias('_op'))\n"
+    "inserts = token_dataframe(spark, %(rows)d // 10, seed=11, max_tok=128,\n"
+    "    id_offset=50_000_000).withColumn('_op', F.lit('upsert'))\n"
+    "updates.unionByName(deletes).unionByName(inserts)"
+    ".write.mode('overwrite').parquet(%(src_dir)r)\n"
+)
+
+# skewed merge source: one hot doc_id repeated rows/10 times (the
+# salted-dedupe stress) + rows/20 cold inserts.
+_DEEP_SKEW_SRC = (
+    "from pyspark.sql import functions as F\n"
+    "from feature_engineering_poc_spark.lakehouse import TokenTable\n"
+    "from feature_engineering_poc_spark.lakehouse.generator import token_dataframe\n"
+    "t = TokenTable(%(tbl)r)\n"
+    "hot_doc = t.scan(spark).select('doc_id').orderBy('doc_id').limit(1).collect()[0].doc_id\n"
+    "hot = spark.range(%(rows)d // 10).select(\n"
+    "    F.lit(hot_doc).alias('doc_id'),\n"
+    "    F.array(F.col('id').cast('int')).alias('tokens'),\n"
+    "    F.lit(1).cast('int').alias('n_tok'), F.lit('web').alias('source'),\n"
+    "    F.lit('upsert').alias('_op'), F.col('id').alias('_seq'))\n"
+    "cold = token_dataframe(spark, %(rows)d // 20, seed=13, max_tok=64,\n"
+    "    id_offset=90_000_000).select('doc_id', 'tokens', 'n_tok', 'source')\\\n"
+    "    .withColumn('_op', F.lit('upsert')).withColumn('_seq', F.lit(0).cast('long'))\n"
+    "hot.unionByName(cold).write.mode('overwrite').parquet(%(src_dir)r)\n"
+)
+
+
+def run_scaling_deep(
+    op: str = "compact",
     rows: int = int(os.environ.get("SPARK_GRAFT_DEEP_ROWS", "64000000")),
     n_small: int = SCALING_N,
-    reps: int = 3,
+    reps: int = int(os.environ.get("SPARK_GRAFT_DEEP_REPS", "3")),
 ) -> dict:
-    """Compaction-only scaling at a deeper input size.
+    """One maintenance op's scaling at a deeper input size.
 
-    At 16M rows the grouped-job compactor finishes in ~4.5 s on 4
-    cores, so the ~2 s per-job constant (JVM job submission, python
-    worker spin-up) is ~40% of the leg — the ratio measures overhead,
-    not the operator. This mode amortizes it the way production does:
-    more data per job. The 18 GB input table is written ONCE at full
-    parallelism (table build is not the system under test) and each
-    leg gets a hardlink copy (`cp -al`: parquet data files are
-    immutable and only read; metadata files are tiny). Each timed leg
-    is a fresh `local[c]` JVM running ONLY compact.
+    At 16M rows the ops finish fast enough on 4 cores that the ~2 s
+    per-job constant (JVM job submission, python worker spin-up) is a
+    large fraction of the leg — the ratio measures overhead, not the
+    operator. This mode amortizes it the way production does: more
+    data per job. The input table is written ONCE at full parallelism
+    (table build is not the system under test) and each leg gets a
+    hardlink copy (`cp -al`: parquet data files are immutable and only
+    read; metadata files are tiny). For the merge variants the source
+    DataFrame is also pre-built ONCE as parquet; each leg re-reads and
+    persists it OUTSIDE the timed region (matching the suite's
+    persist+count protocol). Each timed leg is a fresh `local[c]` JVM
+    running ONLY the op under test.
     """
     import shutil as _sh
 
-    base = tempfile.mkdtemp(prefix="fepoc_deep_")
+    if op not in _DEEP_LEG:
+        raise ValueError(f"unknown deep-run op: {op}")
+    base = tempfile.mkdtemp(prefix=f"fepoc_deep_{op}_")
     tbl_dir = os.path.join(base, "tbl")
+    src_dir = os.path.join(base, "src")
+    build_body = (
+        "from feature_engineering_poc_spark.lakehouse import write_token_table\n"
+        "write_token_table(spark, %(tbl)r, n_rows=%(rows)d, files_per_source=256, "
+        "max_tok=256, persist=False)\n"
+    )
+    if op == "merge":
+        build_body += _DEEP_MERGE_SRC
+    elif op == "merge_skewed":
+        build_body += _DEEP_SKEW_SRC
     build = subprocess.run(
         [sys.executable, "-c", (
-            "import sys; sys.path.insert(0, %r)\n"
+            "import sys; sys.path.insert(0, %(repo)r)\n"
             "from feature_engineering_poc_spark.session import get_session\n"
-            "from feature_engineering_poc_spark.lakehouse import write_token_table\n"
-            "spark = get_session(parallelism=%d)\n"
-            "write_token_table(spark, %r, n_rows=%d, files_per_source=256, max_tok=256, persist=False)\n"
-            "spark.stop()\n"
-        ) % (str(Path(__file__).parent), CPUS, tbl_dir, rows)],
+            "spark = get_session(parallelism=%(cpus)d)\n"
+            + build_body
+            + "spark.stop()\n"
+        ) % {"repo": str(Path(__file__).parent), "cpus": CPUS,
+             "tbl": tbl_dir, "rows": rows, "src_dir": src_dir}],
         capture_output=True, text=True, timeout=3600,
     )
     if build.returncode != 0:
@@ -342,15 +434,17 @@ def run_scaling_compact_deep(
         "from feature_engineering_poc_spark.session import get_session\n"
         "from feature_engineering_poc_spark.lakehouse import TokenTable\n"
         "from feature_engineering_poc_spark.lakehouse.compaction import compact\n"
+        "from feature_engineering_poc_spark.lakehouse.clustering import cluster\n"
+        "from feature_engineering_poc_spark.lakehouse.merge import merge_into\n"
         "local = %(local)r\n"
         "spark = get_session(parallelism=%(cpus)d, extra_conf={'spark.local.dir': local})\n"
         "t = TokenTable(%(copy)r)\n"
-        "t0 = time.time(); r = compact(spark, t, target_file_bytes=%(target)d)\n"
-        "dt = time.time() - t0\n"
-        "print(json.dumps({'sec': dt, 'files': r['files_compacted']}))\n"
+        + _DEEP_LEG[op]
+        + "print(json.dumps({'sec': dt, 'credited': credited}))\n"
         "spark.stop()\n"
     )
     detail: dict[int, list[float]] = {}
+    secs: dict[int, list[float]] = {}
     try:
         for _ in range(reps):
             for cpus in (n_small, n_small * 4):
@@ -360,13 +454,14 @@ def run_scaling_compact_deep(
                 out = subprocess.run(
                     [sys.executable, "-c", leg_src % {
                         "repo": str(Path(__file__).parent), "cpus": cpus,
-                        "copy": copy, "local": local,
+                        "copy": copy, "local": local, "src_dir": src_dir,
+                        "rows": rows,
                         # 256 MB bins over 256 files/source: even the
                         # skewed web partition's ~50 MB files sit well
                         # under the threshold, so ALL bytes are compacted
                         "target": 256 * 1024 * 1024,
                     }],
-                    capture_output=True, text=True, timeout=3600,
+                    capture_output=True, text=True, timeout=7200,
                 )
                 _sh.rmtree(copy, ignore_errors=True)
                 _sh.rmtree(local, ignore_errors=True)
@@ -374,8 +469,9 @@ def run_scaling_compact_deep(
                 if not lines:
                     raise RuntimeError(
                         f"deep leg cpus={cpus} failed:\n" + out.stderr[-2000:])
-                sec = json.loads(lines[-1])["sec"]
-                detail.setdefault(cpus, []).append(round(rows / sec, 1))
+                rec = json.loads(lines[-1])
+                secs.setdefault(cpus, []).append(round(rec["sec"], 1))
+                detail.setdefault(cpus, []).append(round(rec["credited"] / rec["sec"], 1))
     finally:
         _sh.rmtree(base, ignore_errors=True)
 
@@ -386,8 +482,10 @@ def run_scaling_compact_deep(
 
     small, big = detail[n_small], detail[n_small * 4]
     return {
+        "op": op,
         "rows": rows,
         "detail": detail,
+        "leg_secs": secs,
         "efficiency_best": round(max(big) / max(small) / 4, 3),
         "efficiency_median": round(med(big) / med(small) / 4, 3),
         "throughput_n": max(small),
@@ -523,33 +621,45 @@ def write_baseline_md(scaling: dict, history: list[dict] | None = None) -> None:
     Path("BENCH/BASELINE.md").write_text("\n".join(lines) + "\n")
 
 
+def _run_and_record_deep(op: str) -> None:
+    deep = run_scaling_deep(op)
+    Path("BENCH").mkdir(exist_ok=True)
+    sc_path = Path("BENCH/scaling.json")
+    sc = json.loads(sc_path.read_text()) if sc_path.exists() else {}
+    sc[f"{op}_deep"] = deep
+    sc_path.write_text(json.dumps(sc, indent=1))
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## {op} deep run (input-amortized serial term)\n\n"
+            f"{deep['rows']} rows, table (and pre-built merge source, where\n"
+            "applicable) written once at full parallelism and hardlink-copied\n"
+            "per leg (the build is not the system under test); each timed leg\n"
+            f"is a fresh local[c] JVM running ONLY {op}. At 16M rows the op\n"
+            "finishes fast enough on 4 cores that the ~2s per-job constant\n"
+            "is a visible fraction of the leg; production-sized inputs\n"
+            "amortize it, which is what this run shows.\n\n"
+            "| rows | rows/sec @N (best) | rows/sec @4N (best) | eff (best) | eff (median) |\n"
+            "|---|---|---|---|---|\n"
+            f"| {deep['rows'] // 1_000_000}M | {deep['throughput_n']} | "
+            f"{deep['throughput_4n']} | {deep['efficiency_best']} | "
+            f"{deep['efficiency_median']} |\n\n"
+            f"Per-rep rows/sec: {json.dumps(deep['detail'])}\n"
+            f"Per-rep leg seconds: {json.dumps(deep['leg_secs'])}\n"
+        )
+    print(json.dumps({"metric": f"{op}_deep_scaling", "unit": "ratio",
+                      "value": {"best": deep["efficiency_best"],
+                                "median": deep["efficiency_median"]}}))
+
+
 if __name__ == "__main__":
     if "--scaling-compact" in sys.argv:
-        deep = run_scaling_compact_deep()
-        Path("BENCH").mkdir(exist_ok=True)
-        sc_path = Path("BENCH/scaling.json")
-        sc = json.loads(sc_path.read_text()) if sc_path.exists() else {}
-        sc["compact_deep"] = deep
-        sc_path.write_text(json.dumps(sc, indent=1))
-        with open("BENCH/BASELINE.md", "a") as f:
-            f.write(
-                "\n## Compaction deep run (input-amortized serial term)\n\n"
-                f"{deep['rows']} rows, table written once at full parallelism\n"
-                "and hardlink-copied per leg (the build is not the system\n"
-                "under test); each timed leg is a fresh local[c] JVM running\n"
-                "ONLY compact. At 16M rows the op finishes so fast on 4 cores\n"
-                "that the ~2s per-job constant dominates; production-sized\n"
-                "inputs amortize it, which is what this run shows.\n\n"
-                "| rows | rows/sec @N (best) | rows/sec @4N (best) | eff (best) | eff (median) |\n"
-                "|---|---|---|---|---|\n"
-                f"| {deep['rows'] // 1_000_000}M | {deep['throughput_n']} | "
-                f"{deep['throughput_4n']} | {deep['efficiency_best']} | "
-                f"{deep['efficiency_median']} |\n\n"
-                f"Per-rep rows/sec: {json.dumps(deep['detail'])}\n"
-            )
-        print(json.dumps({"metric": "compact_deep_scaling", "unit": "ratio",
-                          "value": {"best": deep["efficiency_best"],
-                                    "median": deep["efficiency_median"]}}))
+        _run_and_record_deep("compact")
+    elif "--scaling-merge" in sys.argv:
+        _run_and_record_deep("merge")
+    elif "--scaling-cluster" in sys.argv:
+        _run_and_record_deep("cluster")
+    elif "--scaling-merge-skewed" in sys.argv:
+        _run_and_record_deep("merge_skewed")
     elif "--scaling" in sys.argv:
         scaling = run_scaling()
         small, big = (scaling["results"][scaling["n_small"]]["maintenance"],

@@ -71,6 +71,12 @@ def ngram_jaccard_pairs(
     LSH verify path (minhash_lsh_pairs), which scores candidates over
     full shingle sets; the hot-shingle cap below is opt-in.
 
+    .. versionchanged:: round 3
+       ``max_shingle_df`` default changed from 1000 to None (exact by
+       default). Callers relying on the old implicit cap must now pass
+       ``max_shingle_df=1000`` explicitly to keep the bounded-blowup
+       approximate semantics at corpus scale.
+
     Inverted-index join: |A∩B| = number of co-occurring distinct
     shingles; |A∪B| = |A| + |B| − |A∩B|. Returns
     (id_a, id_b, inter_size, union_size, jaccard_pct) with id_a < id_b.

@@ -80,6 +80,37 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return sig
 
 
+def _lloyd(X: np.ndarray, k_cells: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd iterations on unit-normalized rows — the shared
+    numpy core of both trainers, so Spark-trained and locally-trained
+    quantizers are BIT-IDENTICAL given the same sample rows (the exact
+    oracle for ann_ivf_topk depends on this)."""
+    X = np.asarray(X, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine == dot on normalized
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):  # empty cells keep their old centroid
+                C[j] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _sample_key(vec_id: str, seed: int) -> str:
+    """The deterministic sample-ranking key: md5 of "<id>:<seed>".
+
+    md5 is identical across Spark, hashlib, and DuckDB, so the SAME
+    sample (and therefore the same centroids) is reproducible with or
+    without a Spark session.
+    """
+    import hashlib
+
+    return hashlib.md5(f"{vec_id}:{seed}".encode()).hexdigest()
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     k_cells: int = 16,
@@ -96,30 +127,45 @@ def train_ivf_centroids(
     sample too): training data is a bounded sample regardless of corpus
     size — at 100 TB the sample collect is one top-N-by-hash job, and
     the k×dim centroid matrix (KBs) broadcasts to every assigner task.
-    Fully deterministic: sample order = xxhash64(id, seed), init =
-    seeded choice, ties resolved by argmax's fixed order.
+    Fully deterministic AND Spark-independent: sample order =
+    md5("<id>:<seed>") (reproducible via hashlib — see
+    train_ivf_centroids_local), init = seeded choice, ties resolved by
+    argmax's fixed order.
     """
     rows = (
         corpus.select(
             F.col(vec_col).alias("v"),
-            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
+            F.md5(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+            ).alias("h"),
         )
-        .orderBy("h", "v")
+        .orderBy("h")
         .limit(sample)
         .collect()
     )
-    X = np.asarray([r.v for r in rows], dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(k_cells, len(X)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)  # cosine == dot on normalized
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):  # empty cells keep their old centroid
-                C[j] = members.mean(axis=0)
-        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    return C
+    return _lloyd(np.asarray([r.v for r in rows]), k_cells, iters, seed)
+
+
+def train_ivf_centroids_local(
+    parquet_path: str,
+    k_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Same quantizer as ``train_ivf_centroids``, trained WITHOUT Spark
+    (pyarrow read + hashlib sample ranking + the shared Lloyd core).
+    Exists so an exact SQL oracle can inject byte-identical centroids;
+    also handy for offline quantizer prep."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = tbl.column(id_col).to_pylist()
+    vecs = tbl.column(vec_col).to_pylist()
+    ranked = sorted(range(len(ids)), key=lambda i: _sample_key(ids[i], seed))[:sample]
+    return _lloyd(np.asarray([vecs[i] for i in ranked]), k_cells, iters, seed)
 
 
 def _ivf_cells_udf(centroids: np.ndarray, nprobe: int):
@@ -152,6 +198,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus rows
     are binned by nearest coarse centroid; each query scores only the
@@ -162,8 +209,12 @@ def ivf_topk(
     join but with DATA-ADAPTIVE partitions (k-means cells follow the
     embedding distribution, where hyperplane buckets are oblivious).
     Recall/cost trades via k_cells (cell size) and nprobe.
+
+    ``centroids`` injects a pre-trained quantizer (e.g. from
+    ``train_ivf_centroids_local``); default trains on a deterministic
+    hash-sample of ``corpus``.
     """
-    C = train_ivf_centroids(
+    C = centroids if centroids is not None else train_ivf_centroids(
         corpus, k_cells=k_cells, sample=sample, id_col=id_col, vec_col=vec_col, seed=seed
     )
     assign1 = _ivf_cells_udf(C, 1)

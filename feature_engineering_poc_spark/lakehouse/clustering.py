@@ -141,6 +141,14 @@ def cluster(
     if prior is not None:  # replayed job: already committed, no-op
         return {k: v for k, v in prior.items()
                 if k not in ("event", "job_id", "timestamp_ms")}
+    published = table.snapshot_for_job(job_tag)
+    if published is not None:
+        # crash between VERSION swap and the 'committed' lineage append:
+        # snapshot is live — repair the log instead of re-committing the
+        # same manifest rows (see metadata.snapshot_for_job)
+        summary = dict(published["summary"])
+        log.log_event("committed", snapshot_id=published["snapshot_id"], **summary)
+        return {"snapshot_id": published["snapshot_id"], **summary}
     done = log.completed_units()
 
     def run_unit(part: str) -> None:
@@ -194,6 +202,7 @@ def cluster(
         "files_written": len(new_rows),
         "rows": sum(rec["metrics"]["rows"] for rec in done.values()),
         "units": len(by_part),
+        "job_tag": job_tag,
     }
     sid = table.commit_delta(
         spark, removed, new_rows, operation=f"cluster-{curve}", summary=summary, parent_id=parent

@@ -153,6 +153,14 @@ def compact(
     if prior is not None:  # replayed job: already committed, no-op
         return {k: v for k, v in prior.items()
                 if k not in ("event", "job_id", "timestamp_ms")}
+    published = table.snapshot_for_job(job_tag)
+    if published is not None:
+        # crash between VERSION swap and the 'committed' lineage append:
+        # snapshot is live — repair the log instead of re-committing the
+        # same manifest rows (see metadata.snapshot_for_job)
+        summary = dict(published["summary"])
+        log.log_event("committed", snapshot_id=published["snapshot_id"], **summary)
+        return {"snapshot_id": published["snapshot_id"], **summary}
 
     # PLAN — metadata only, DRIVER-SIDE for small manifests (pyarrow
     # footer reads, zero Spark jobs; distributed collect above
@@ -280,6 +288,7 @@ def compact(
         "bytes_compacted": sum(rec["metrics"]["bytes_compacted"] for rec in done.values()),
         "units": len(units),
         "units_resumed": resumed,
+        "job_tag": job_tag,
     }
     sid = table.commit_delta(
         spark, removed_files, new_rows, operation="compact", summary=summary, parent_id=parent

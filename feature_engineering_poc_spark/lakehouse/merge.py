@@ -162,6 +162,17 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
                     job_tag, prior.get("snapshot_id"))
         return {k: v for k, v in prior.items()
                 if k not in ("event", "job_id", "timestamp_ms")}
+    published = table.snapshot_for_job(job_tag)
+    if published is not None:
+        # Crash landed between the VERSION swap and the 'committed'
+        # lineage append: the snapshot is live but the log doesn't say
+        # so. Repair the log and return — re-committing would union the
+        # same manifest rows a second time (duplicate files on scan).
+        logger.info("merge job %s found published snapshot %s; repairing lineage",
+                    job_tag, published["snapshot_id"])
+        summary = dict(published["summary"])
+        log.log_event("committed", snapshot_id=published["snapshot_id"], **summary)
+        return {"snapshot_id": published["snapshot_id"], **summary}
     done = log.completed_units()
 
     # 1. PROFILE + PRUNE — ONE agg over the persisted source yields the
@@ -396,7 +407,8 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
         for k in metrics:
             metrics[k] += rec["metrics"].get(k, 0)
     summary = {**metrics, "files_rewritten": len(removed), "files_written": len(new_rows),
-               "candidate_files": len(cand_files), "touched_files": len(touched_files)}
+               "candidate_files": len(cand_files), "touched_files": len(touched_files),
+               "job_tag": job_tag}
     with _Phase("commit"):
         # manifest-delta commit: driver-side pyarrow for small manifests
         # (zero Spark jobs), distributed anti-join + union above the

@@ -168,6 +168,23 @@ class TokenTable:
             out.append(json.loads(p.read_text()))
         return sorted(out, key=lambda s: s["snapshot_id"])
 
+    def snapshot_for_job(self, job_tag: str) -> dict | None:
+        """The snapshot a maintenance job already published, if any.
+
+        Maintenance commits stamp their ``job_tag`` into the snapshot
+        summary before the VERSION swap. A replayed job whose lineage
+        log lacks a 'committed' event (crash in the window between the
+        swap and the fsync'd lineage append) finds its published
+        snapshot here instead of re-committing the same manifest rows —
+        closing the duplicate-commit window in the exactly-once
+        protocol. Newest match wins (job_tags are unique per job, so at
+        most one exists).
+        """
+        for snap in reversed(self.snapshots()):
+            if snap.get("summary", {}).get("job_tag") == job_tag:
+                return snap
+        return None
+
     def manifest_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """The manifest of a snapshot as a DataFrame (metadata-level plan input)."""
         snap = self.snapshot(snapshot_id)
@@ -323,12 +340,23 @@ class TokenTable:
             out_dir.mkdir(parents=True, exist_ok=True)
             pq.write_table(tbl, out_dir / "part-00000.parquet")
         else:
+            # Anti-join on scheme-normalized paths — byte-identical
+            # semantics with the pyarrow small-manifest branch above
+            # (which strips file:// on both sides): a scheme-prefixed
+            # removed path must drop its manifest row on either path.
             manifest = self.manifest_df(spark, expected_parent)
             removed_df = spark.createDataFrame(
-                [(f,) for f in removed_files] or [], "file_path string"
+                [(_strip_scheme(f),) for f in removed_files] or [], "_rm_path string"
             )
-            new_manifest = manifest.join(
-                F.broadcast(removed_df), "file_path", "left_anti"
+            norm = F.regexp_replace(F.col("file_path"), "^file:(//)?", "")
+            new_manifest = (
+                manifest.withColumn("_norm_path", norm)
+                .join(
+                    F.broadcast(removed_df),
+                    F.col("_norm_path") == F.col("_rm_path"),
+                    "left_anti",
+                )
+                .drop("_norm_path")
             )
             if new_rows:
                 new_manifest = new_manifest.unionByName(
@@ -396,8 +424,17 @@ class TokenTable:
                                 os.unlink(aside)  # confirmed stale — gone
                             else:
                                 # rename landed on a freshly recreated
-                                # lock — give it back and keep waiting
-                                os.rename(aside, lock)
+                                # lock — give it back. link (not rename)
+                                # so an even newer lock created in this
+                                # window is never clobbered: on EEXIST
+                                # the newest owner keeps its live lock
+                                # and the aside owner's fence aborts it
+                                # safely.
+                                try:
+                                    os.link(aside, lock)
+                                except FileExistsError:
+                                    pass
+                                os.unlink(aside)
                             continue
                     except FileNotFoundError:
                         continue

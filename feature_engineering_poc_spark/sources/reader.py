@@ -51,15 +51,31 @@ def read_source(
         if fmt not in _PATH_FORMATS:
             fmt = "delta" if source.location.endswith(".delta") else "parquet"
         if fmt == "delta":
-            # offline parity with the sink's delta→parquet mapping: the
-            # Delta jar isn't available here, and parquet is delta's
-            # physical layout for plain reads
-            logger.info("delta source %s read as parquet (offline)", source.name)
-            fmt = "parquet"
-        reader = spark.read.format(fmt)
-        if fmt == "csv":
-            reader = reader.option("header", "true").option("inferSchema", "true")
-        df = reader.load(source.location)
+            # Offline parity with the sink's delta→parquet mapping (the
+            # Delta jar isn't available here). A REAL Delta table
+            # directory carries _delta_log; globbing all its parquet
+            # would silently return deleted/overwritten file versions,
+            # so resolve the live file set from the JSON commit log
+            # instead. A plain directory (our sink's output) has no log
+            # and parquet IS its physical layout.
+            live = _delta_log_live_files(source.location)
+            if live is not None:
+                logger.warning(
+                    "delta source %s resolved via _delta_log JSON replay "
+                    "(offline; %d live files)", source.name, len(live))
+                if not live:
+                    raise ValueError(
+                        f"delta source '{source.name}' has an empty live file set"
+                    )
+                df = spark.read.parquet(*live)
+            else:
+                logger.warning("delta source %s read as parquet (offline)", source.name)
+                df = spark.read.parquet(source.location)
+        else:
+            reader = spark.read.format(fmt)
+            if fmt == "csv":
+                reader = reader.option("header", "true").option("inferSchema", "true")
+            df = reader.load(source.location)
     else:
         raise ValueError(
             f"source '{source.name}' has no query, table, or location configured"
@@ -70,6 +86,44 @@ def read_source(
 
         run_quality_checks(df, source.quality_checks, strict=True)
     return df
+
+
+def _delta_log_live_files(location: str) -> list[str] | None:
+    """Live data-file paths of a Delta table, from its JSON commit log.
+
+    Returns None when ``location`` has no ``_delta_log`` directory (not
+    a Delta table — plain parquet read is correct). Replays add/remove
+    actions across the version-ordered ``NNNNNNNNNN*.json`` commits —
+    the documented Delta protocol (PROTOCOL.md, public spec). Fails
+    fast when a parquet checkpoint is present (``_last_checkpoint``):
+    commits before the checkpoint may have been expired, so JSON replay
+    alone could be incomplete — reading through a checkpoint needs the
+    real Delta reader.
+    """
+    import json
+    from pathlib import Path
+    from urllib.parse import unquote
+
+    log_dir = Path(location) / "_delta_log"
+    if not log_dir.is_dir():
+        return None
+    if (log_dir / "_last_checkpoint").exists():
+        raise ValueError(
+            f"Delta table at {location} has a parquet checkpoint; offline "
+            "JSON-log replay would be incomplete — use a real Delta reader"
+        )
+    live: set[str] = set()
+    for commit in sorted(log_dir.glob("*.json")):
+        for line in commit.read_text().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                live.add(unquote(action["add"]["path"]))
+            elif "remove" in action:
+                live.discard(unquote(action["remove"]["path"]))
+    return sorted(str(Path(location) / p) for p in live)
 
 
 def _validate_schema(df: DataFrame, source: SourceDefinition, check_types: bool) -> None:

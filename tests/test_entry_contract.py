@@ -24,22 +24,31 @@ def test_registry_consistency():
     # every oracle key must have a query
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle without query: {missing}"
-    # non-SQL-expressible ops are known and bounded
+    # non-SQL-expressible ops are exactly the declared set (ann_ivf_topk
+    # graduated to an exact oracle via injected deterministic centroids)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "ann_lsh_topk",  # seeded-random hyperplane buckets
-        "ann_ivf_topk",  # seeded k-means cells (self-verifying recall)
-        "lakehouse_compact", "lakehouse_merge", "lakehouse_cluster",
-        "multimodal_features",
-        "multimodal_decode",  # numpy wave/image synthesis isn't SQL
-        "stream_merge",  # stateful multi-batch streaming (self-verifying)
-    }
+    assert rows_only == entrymod.SELF_VERIFYING
+
+
+def test_registry_order_keeps_self_verifying_in_checked_window():
+    """The driver records only the first ~50 registry rows; queries with
+    NO oracle twin get no check at all if they fall past the cap, so
+    they must come first. Everything past position 50 must have an
+    oracle twin AND be in the declared ROTATED_OUT list (hash-matched in
+    prior rounds; rotated back periodically)."""
+    qs = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    for name in entrymod.SELF_VERIFYING:
+        assert qs.index(name) < 50, f"{name} is self-verifying but unchecked"
+    for name in qs[50:]:
+        assert name in oracles, f"{name} past the cap without an oracle"
+        assert name in entrymod.ROTATED_OUT, f"{name} fell off undeclared"
 
 
 import pytest
 
 
-@pytest.mark.parametrize("qname", ["ann_lsh_topk", "ann_ivf_topk"])
+@pytest.mark.parametrize("qname", ["ann_lsh_topk"])
 def test_ann_driver_queries_self_verifying(spark, qname):
     """The approximate-ANN driver rows carry recall-vs-brute-force as a
     permille column computed in-plan; floor asserted here (both
@@ -49,6 +58,21 @@ def test_ann_driver_queries_self_verifying(spark, qname):
     permilles = {r.recall_permille for r in rows}
     assert len(permilles) == 1  # one global value stamped on every row
     assert permilles.pop() >= 500
+
+
+def test_ivf_centroids_spark_and_local_trainers_identical(spark):
+    """The exact ann_ivf_topk oracle rests on this: the Spark-sampled
+    trainer and the pyarrow/hashlib trainer produce BIT-IDENTICAL
+    centroids (same md5 sample ranking, same Lloyd core)."""
+    import numpy as np
+
+    from feature_engineering_poc_spark.functions import similarity
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    C_spark = similarity.train_ivf_centroids(emb, k_cells=8, sample=200)
+    C_local = similarity.train_ivf_centroids_local(path, k_cells=8, sample=200)
+    assert np.array_equal(C_spark, C_local)
 
 
 def test_asof_join_semantics(spark):

@@ -187,3 +187,80 @@ def test_commit_delta_driver_side_matches_distributed(spark, tmp_path, monkeypat
 
     assert canon(t1) == canon(t2)
     assert_scan_equivalent(t1.scan(spark), t2.scan(spark))
+
+
+def _drop_committed_event(table, job_id):
+    """Simulate a crash in the window between the VERSION swap and the
+    fsync'd 'committed' lineage append: the snapshot is published but
+    the log doesn't say so."""
+    log_path = table.root / "metadata" / "lineage" / f"{job_id}.jsonl"
+    lines = [
+        ln for ln in log_path.read_text().splitlines()
+        if ln.strip() and '"committed"' not in ln
+    ]
+    log_path.write_text("\n".join(lines) + "\n")
+
+
+def test_merge_replay_after_publish_before_lineage_event(spark, tmp_path):
+    """Crash between commit_delta's VERSION swap and the 'committed'
+    lineage append: the replay must find the published snapshot via its
+    job_tag stamp and NOT re-commit the same manifest rows."""
+    t = write_token_table(spark, tmp_path / "t", n_rows=800, files_per_source=3, max_tok=32)
+    src = _upsert_source(spark, t, frac_mod=5)
+    r1 = merge_into(spark, t, src, job_id="crashy-1")
+    _drop_committed_event(t, "crashy-1")
+
+    fp = scan_fingerprint(t.scan(spark))
+    r2 = merge_into(spark, t, src, job_id="crashy-1")
+    assert r2["snapshot_id"] == r1["snapshot_id"]
+    assert t.current_snapshot_id() == r1["snapshot_id"]
+    fp2 = scan_fingerprint(t.scan(spark))
+    assert (fp2.row_count, fp2.xor_hash) == (fp.row_count, fp.xor_hash)
+    _assert_manifest_unique_files(spark, t)
+    # the repair also re-logs the committed event, so a THIRD replay
+    # takes the fast lineage path
+    r3 = merge_into(spark, t, src, job_id="crashy-1")
+    assert r3["snapshot_id"] == r1["snapshot_id"]
+
+
+def test_compact_replay_after_publish_before_lineage_event(spark, tmp_path):
+    t = write_token_table(spark, tmp_path / "t", n_rows=1000, files_per_source=4, max_tok=32)
+    r1 = compact(spark, t, target_file_bytes=64 * 1024 * 1024, job_id="cc-1")
+    _drop_committed_event(t, "cc-1")
+    fp = scan_fingerprint(t.scan(spark))
+    r2 = compact(spark, t, target_file_bytes=64 * 1024 * 1024, job_id="cc-1")
+    assert r2["snapshot_id"] == r1["snapshot_id"]
+    assert t.current_snapshot_id() == r1["snapshot_id"]
+    fp2 = scan_fingerprint(t.scan(spark))
+    assert (fp2.row_count, fp2.xor_hash) == (fp.row_count, fp.xor_hash)
+    _assert_manifest_unique_files(spark, t)
+
+
+def test_cluster_replay_after_publish_before_lineage_event(spark, tmp_path):
+    t = write_token_table(spark, tmp_path / "t", n_rows=800, files_per_source=3, max_tok=32)
+    r1 = cluster(spark, t, curve="zorder", job_id="zz-1")
+    _drop_committed_event(t, "zz-1")
+    r2 = cluster(spark, t, curve="zorder", job_id="zz-1")
+    assert r2["snapshot_id"] == r1["snapshot_id"]
+    assert t.current_snapshot_id() == r1["snapshot_id"]
+    _assert_manifest_unique_files(spark, t)
+
+
+def test_commit_delta_scheme_normalization_both_paths(spark, tmp_path, monkeypatch):
+    """A file://-prefixed removed path drops its manifest row on BOTH
+    the pyarrow small-manifest path and the distributed anti-join path
+    (previously only the former normalized schemes)."""
+    from feature_engineering_poc_spark.lakehouse import metadata as md
+
+    for name, small_rows in (("small", None), ("dist", 0)):
+        t = write_token_table(
+            spark, tmp_path / name, n_rows=300, files_per_source=2, max_tok=32
+        )
+        if small_rows is not None:
+            monkeypatch.setattr(md, "SMALL_MANIFEST_ROWS", small_rows)
+        victim = t.manifest_records(spark)[0]["file_path"]
+        n_before = len(t.manifest_records(spark))
+        t.commit_delta(spark, ["file://" + victim], [], operation="test-remove")
+        assert len(t.manifest_records(spark)) == n_before - 1
+        assert victim not in {r["file_path"] for r in t.manifest_records(spark)}
+        monkeypatch.undo()

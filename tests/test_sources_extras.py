@@ -126,3 +126,71 @@ def test_stateful_user_profiles_stream(spark, tmp_path):
         assert g.n_events == e.n
         assert abs(g.sum_value - e.s) < 1e-6
         assert g.last_ts == e.m
+
+
+def test_delta_source_with_log_resolves_live_files(spark, tmp_path):
+    """A real Delta table directory (has _delta_log) is resolved by JSON
+    log replay: removed/overwritten files must NOT appear in the scan.
+    Protocol shape per the public Delta PROTOCOL.md."""
+    import json
+
+    from feature_engineering_poc_spark.config import SourceDefinition
+    from feature_engineering_poc_spark.sources import read_source
+
+    root = tmp_path / "dtab"
+    root.mkdir()
+    spark.createDataFrame([(1, "live")], "id int, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(root / "_stage_live"))
+    spark.createDataFrame([(2, "dead")], "id int, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(root / "_stage_dead"))
+    import shutil
+
+    live_name, dead_name = "part-live.parquet", "part-dead.parquet"
+    for stage, name in (("_stage_live", live_name), ("_stage_dead", dead_name)):
+        src = next((root / stage).glob("*.parquet"))
+        shutil.move(str(src), str(root / name))
+        shutil.rmtree(root / stage)
+
+    log = root / "_delta_log"
+    log.mkdir()
+    (log / "00000000000000000000.json").write_text(
+        json.dumps({"add": {"path": live_name}}) + "\n"
+        + json.dumps({"add": {"path": dead_name}}) + "\n"
+    )
+    (log / "00000000000000000001.json").write_text(
+        json.dumps({"remove": {"path": dead_name}}) + "\n"
+    )
+
+    sd = SourceDefinition(name="d", version="1", type="delta", location=str(root))
+    out = read_source(spark, sd)
+    rows = [(r["id"], r["v"]) for r in out.collect()]
+    assert rows == [(1, "live")]
+
+
+def test_delta_source_with_checkpoint_fails_fast(spark, tmp_path):
+    import json
+
+    from feature_engineering_poc_spark.config import SourceDefinition
+    from feature_engineering_poc_spark.sources import read_source
+
+    root = tmp_path / "dtab"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 10}))
+    sd = SourceDefinition(name="d", version="1", type="delta", location=str(root))
+    with pytest.raises(ValueError, match="checkpoint"):
+        read_source(spark, sd)
+
+
+def test_plain_delta_dir_without_log_reads_parquet(spark, tmp_path):
+    """Our own sink's delta→parquet output has no _delta_log; plain
+    parquet read remains correct for it."""
+    from feature_engineering_poc_spark.config import SourceDefinition
+    from feature_engineering_poc_spark.sources import read_source
+
+    root = tmp_path / "plain"
+    spark.createDataFrame([(1,), (2,)], "id int").write.parquet(str(root))
+    sd = SourceDefinition(name="p", version="1", type="delta", location=str(root))
+    assert read_source(spark, sd).count() == 2

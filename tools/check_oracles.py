@@ -51,6 +51,11 @@ def _fmt(v) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracle generators that inject data-derived literals (ann_ivf_topk
+    # centroids) must derive them from the SAME sf dir being checked
+    import os
+
+    os.environ["FEPOC_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entrymod
     from feature_engineering_poc_spark.session import get_session
