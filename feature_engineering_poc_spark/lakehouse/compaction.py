@@ -60,25 +60,25 @@ def _rewrite_bins_distributed(
     import pandas as pd
 
     def kernel(batches):
-        import os
-
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
+
+        from feature_engineering_poc_spark.lakehouse import fs as fslayer
 
         cols = ["doc_id", "tokens", "n_tok", "source"]
         for pdf in batches:
             out = []
             for spec_json in pdf["spec"]:
                 spec = _json.loads(spec_json)
+                # fs layer: inputs/outputs may be local paths or
+                # file://-or-object-store URIs (fs.py)
                 tbl = pa.concat_tables(
-                    [pq.read_table(f, columns=cols) for f in spec["files"]]
+                    [fslayer.read_parquet(f, columns=cols) for f in spec["files"]]
                 )
                 tbl = tbl.take(pc.sort_indices(tbl.column("doc_id")))
-                os.makedirs(os.path.dirname(spec["out"]), exist_ok=True)
                 # zstd: compacted files are cold data — trade CPU (which
                 # scales with executors) for bytes (which cost forever)
-                pq.write_table(tbl, spec["out"], compression="zstd")
+                n_bytes = fslayer.write_parquet(tbl, spec["out"], compression="zstd")
                 doc = tbl.column("doc_id")
                 ntk = tbl.column("n_tok")
                 out.append(
@@ -86,7 +86,7 @@ def _rewrite_bins_distributed(
                         "file_path": spec["out"],
                         "partition": spec["partition"],
                         "record_count": tbl.num_rows,
-                        "file_bytes": os.path.getsize(spec["out"]),
+                        "file_bytes": n_bytes,
                         "min_doc_id": pc.min(doc).as_py(),
                         "max_doc_id": pc.max(doc).as_py(),
                         "min_n_tok": pc.min(ntk).as_py(),

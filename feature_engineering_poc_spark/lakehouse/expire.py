@@ -20,12 +20,11 @@ All three are METADATA-dominant operations:
 
 from __future__ import annotations
 
-import os
 import time
-from pathlib import Path
 
 from pyspark.sql import SparkSession
 
+from . import fs as fslayer
 from .metadata import TokenTable, list_parquet_files
 from .stats import file_stats_df
 
@@ -69,11 +68,10 @@ def expire_snapshots(
         for r in expired_refs.join(reachable, "file_path", "left_anti").collect()
     ]
     if not dry_run:
-        for f in doomed:
-            try:
-                os.remove(f)
-            except FileNotFoundError:
-                pass
+        # fs layer: driver loop for planning-sized lists, distributed
+        # foreachPartition fan-out past the threshold (fs.py) — an
+        # expired snapshot of a 10^12-seq table dooms millions of files
+        fslayer.delete_files(doomed, spark=spark)
         for sid in expired_ids:
             snap = table.snapshot(sid)
             if snap.get("manifest"):
@@ -112,11 +110,12 @@ def remove_orphans(
         listed_df.join(refs.distinct(), "file_path", "left_anti") if refs is not None else listed_df
     )
     cutoff = time.time() - grace_period_ms / 1000.0
-    orphans = [
-        r.file_path
-        for r in orphans_df.collect()
-        if Path(r.file_path).exists() and os.path.getmtime(r.file_path) < cutoff
-    ]
+
+    def _old_enough(p) -> bool:
+        mtime = fslayer.file_mtime(p)
+        return mtime is not None and mtime < cutoff
+
+    orphans = [r.file_path for r in orphans_df.collect() if _old_enough(r.file_path)]
     # Manifest dirs from commit attempts that crashed before publishing
     # (commit() writes manifests to unique paths before the CAS): any
     # metadata/manifest-* dir no snapshot references is debris.
@@ -126,11 +125,10 @@ def remove_orphans(
         for d in sorted(table.meta_dir.glob("manifest-*"))
         if d.is_dir()
         and f"metadata/{d.name}" not in live_manifests
-        and os.path.getmtime(d) < cutoff
+        and _old_enough(d)
     ]
     if not dry_run:
-        for f in orphans:
-            os.remove(f)
+        fslayer.delete_files(orphans, spark=spark)
         for d in orphan_manifests:
             for p in sorted(d.rglob("*"), reverse=True):
                 p.unlink()

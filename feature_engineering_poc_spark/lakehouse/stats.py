@@ -25,13 +25,12 @@ _STAT_COLS = ("doc_id", "n_tok", "zkey")
 
 
 def _footer_stats(batch: pd.DataFrame) -> pd.DataFrame:
-    import os
-
-    import pyarrow.parquet as pq
+    from . import fs as fslayer
 
     out = []
     for path, partition in zip(batch["file_path"], batch["partition"]):
-        pf = pq.ParquetFile(path)
+        # fs layer: footer read works on local paths or URIs (fs.py)
+        pf = fslayer.parquet_file(path)
         md = pf.metadata
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
         mins: dict[str, object] = {}
@@ -51,7 +50,7 @@ def _footer_stats(batch: pd.DataFrame) -> pd.DataFrame:
         # Fallback: column chunk without footer stats → one columnar read.
         missing = [c for c, ok in have_stats.items() if not ok]
         if missing:
-            tbl = pq.read_table(path, columns=missing)
+            tbl = fslayer.read_parquet(path, columns=missing)
             for col in missing:
                 arr = tbl.column(col)
                 mins[col] = arr.to_pandas().min()
@@ -61,7 +60,7 @@ def _footer_stats(batch: pd.DataFrame) -> pd.DataFrame:
                 "file_path": path,
                 "partition": partition,
                 "record_count": md.num_rows,
-                "file_bytes": os.path.getsize(path),
+                "file_bytes": fslayer.file_size(path),
                 "min_doc_id": mins.get("doc_id"),
                 "max_doc_id": maxs.get("doc_id"),
                 "min_n_tok": None if mins.get("n_tok") is None else int(mins["n_tok"]),
