@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-4 deep scaling runs: merge (the failing criterion), cluster,
+# merge_skewed — sequential so legs never contend.
+set -x
+cd /root/repo
+export SPARK_GRAFT_SCALING_N=1
+export SPARK_GRAFT_DEEP_ROWS=64000000
+export SPARK_GRAFT_DEEP_REPS=3
+echo "=== MERGE DEEP START $(date)"
+timeout 14000 python bench.py --scaling-merge
+echo "=== MERGE DEEP DONE rc=$? $(date)"
+echo "=== CLUSTER DEEP START $(date)"
+timeout 10000 python bench.py --scaling-cluster
+echo "=== CLUSTER DEEP DONE rc=$? $(date)"
+echo "=== MERGE_SKEWED DEEP START $(date)"
+timeout 10000 python bench.py --scaling-merge-skewed
+echo "=== MERGE_SKEWED DEEP DONE rc=$? $(date)"
