@@ -137,3 +137,50 @@ def test_merge_probe_is_column_pruned(spark, tmp_path):
     p = plan(probe)
     read_schema = p.split("ReadSchema")[1].splitlines()[0]
     assert "tokens" not in read_schema  # the heavy array column never leaves the scan
+
+
+def test_q19_pushes_disjunction_and_broadcasts_part(spark):
+    """Q19's OR-of-conjunctions: the part side broadcasts, and the
+    part-only arms of the disjunction are pushed to the part scan
+    (each OR arm prunes row groups independently)."""
+    import __spark_entry__ as m
+
+    p = plan(m.q_q19_discount_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    part_scan = [s for s in p.split("PushedFilters") if "p_brand" in s.split("]")[0]]
+    assert part_scan, "no pushed filter mentioning p_brand on the part scan"
+    pushed = part_scan[0].split("]")[0]
+    assert "Or(" in pushed  # the disjunction itself reached the scan
+
+
+def test_q13_left_outer_with_pushed_on_filter(spark):
+    """The ON-clause orders filter must prune the orders SCAN (it
+    cannot become a post-join WHERE without changing the outer-join
+    semantics) and the join must stay LeftOuter."""
+    import __spark_entry__ as m
+
+    p = plan(m.q_q13_customer_distribution(spark, SF_DIR))
+    assert "LeftOuter" in p
+    assert "Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))" in p
+
+
+def test_q16_broadcast_anti_join_and_size_pushdown(spark):
+    import __spark_entry__ as m
+
+    p = plan(m.q_q16_parts_supplier(spark, SF_DIR))
+    assert "LeftAnti" in p  # complaint-supplier exclusion is an anti join
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
+    # the size IN-list reaches the part scan (element order is Spark's)
+    assert "In(p_size, [" in p
+    assert "Not(StringStartsWith(p_type,PROMO))" in p
+
+
+def test_q21_exists_becomes_semi_and_anti_joins(spark):
+    """Nested EXISTS / NOT EXISTS over lineitem self-references must
+    plan as left-semi + left-anti joins — never correlated per-row
+    re-execution."""
+    import __spark_entry__ as m
+
+    p = plan(m.q_q21_suppliers_waiting(spark, SF_DIR), "simple")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
