@@ -1147,6 +1147,93 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
 
+# ----------------------------------------------- sequence packing / sampling
+
+def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a word-count token size (the packing input)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        text.word_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+
+
+def q_seq_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing (functions/packing.py:
+    chunk_assignments) — documents ordered by doc_id per source,
+    word-count sizes, 512-token chunks; a doc belongs to the chunk
+    where it starts. Pure window prefix-sum (one hash exchange), and
+    the DuckDB oracle replays it exactly."""
+    from feature_engineering_poc_spark.functions.packing import chunk_assignments
+
+    sized = _sized_docs(_cfg(spark), sf_dir)
+    out = chunk_assignments(
+        sized, size_col="n_tok", group_col="source", order_col="doc_id",
+        chunk_tokens=512,
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_tok"),
+        F.col("start_offset"), F.col("chunk_id"),
+    )
+
+
+def q_seq_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting FFD sequence packing (functions/packing.py:
+    pack_bins_ffd) — rows-only but SELF-VERIFYING per source row:
+    tokens_conserved (bin totals == direct sum) and
+    bins_within_capacity must both be true; fill_permille and the
+    lower-bound check (n_bins >= ceil(total/capacity)) quantify pack
+    quality. FFD order is deterministic, so the row set is stable."""
+    from feature_engineering_poc_spark.functions.packing import pack_bins_ffd
+
+    cap = 512
+    sized = _sized_docs(_cfg(spark), sf_dir)
+    bins = pack_bins_ffd(
+        sized, id_col="doc_id", size_col="n_tok", group_col="source",
+        capacity=cap,
+    )
+    per_src = bins.groupBy(F.col("group").alias("source")).agg(
+        F.sum(F.when(~F.col("oversize"), 1).otherwise(0)).cast("long").alias("n_bins"),
+        F.sum(F.when(F.col("oversize"), 1).otherwise(0)).cast("long").alias("n_oversize"),
+        F.sum("total_tokens").cast("long").alias("packed_tokens"),
+        F.max(F.when(~F.col("oversize"), F.col("total_tokens"))).alias("max_fill"),
+    )
+    direct = sized.groupBy("source").agg(F.sum("n_tok").cast("long").alias("direct_tokens"))
+    return per_src.join(direct, "source").select(
+        "source",
+        "n_bins",
+        "n_oversize",
+        (F.col("packed_tokens") == F.col("direct_tokens")).alias("tokens_conserved"),
+        (F.coalesce(F.col("max_fill"), F.lit(0)) <= cap).alias("bins_within_capacity"),
+        (F.col("n_bins") >= F.ceil(F.col("packed_tokens") / F.lit(cap))).alias("meets_lower_bound"),
+        F.round(F.lit(1000.0) * F.col("packed_tokens") / (F.col("n_bins") * cap))
+        .cast("long")
+        .alias("fill_permille"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sampling — reproducible training
+    subsets with per-source rates. The sample key is md5-derived
+    (engine-portable: Spark conv(hex)==DuckDB ::UBIGINT), so the exact
+    same rows are chosen on any engine, any partitioning, any run —
+    the property a 100 TB pipeline needs to resume or audit a sample."""
+    docs = _t(_cfg(spark), sf_dir, "documents")
+    key = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000
+    )
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 100)
+        .when(F.col("source").isin("src3", "src4", "src5"), 250)
+        .otherwise(500)
+    )
+    return docs.filter(key < rate).select(
+        F.col("doc_id").cast("long"), "source", "lang"
+    )
+
+
 # ----------------------------------------------------------- streaming
 
 def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1297,6 +1384,8 @@ SELF_VERIFYING = {
     "multimodal_decode",
     "stream_merge",
     "ann_lsh_topk",
+    "seq_packing_bins",  # FFD feasibility is sequential, not SQL; row
+    # carries tokens_conserved / bins_within_capacity / lower-bound
 }
 
 # Hash-matched in every prior driver round; parked past the checked
@@ -1316,6 +1405,12 @@ ROTATED_OUT = [
     "t7_category",
     "minhash_signatures",
     "simhash_signatures",
+    # round-4 additions (each hash-matched r01-r03; a checked cousin
+    # still exercises the same machinery: t8 windows, t10 pivots,
+    # distinct_counts/order stats aggregation)
+    "window_funcs",
+    "pivot_spend",
+    "order_percentiles",
 ]
 
 
@@ -1335,6 +1430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier": q_q16_parts_supplier,
         "q21_suppliers_waiting": q_q21_suppliers_waiting,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "seq_packing_chunks": q_seq_packing_chunks,
+        "seq_packing_bins": q_seq_packing_bins,
+        "stratified_sample": q_stratified_sample,
         # reference-parity aggregators
         "t8_rolling_window": q_t8_rolling_window,
         "t9_monthly_count": q_t9_monthly_count,
@@ -1356,9 +1454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
-        "window_funcs": q_window_funcs,
-        "pivot_spend": q_pivot_spend,
-        "order_percentiles": q_order_percentiles,
         "distinct_counts": q_distinct_counts,
         "outer_join_recon": q_outer_join_recon,
         "set_ops_users": q_set_ops_users,
@@ -1387,6 +1482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_category": q_t7_category,
         "minhash_signatures": q_minhash_signatures,
         "simhash_signatures": q_simhash_signatures,
+        "window_funcs": q_window_funcs,
+        "pivot_spend": q_pivot_spend,
+        "order_percentiles": q_order_percentiles,
     }
     return ordered
 
@@ -2033,6 +2131,22 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(round(sum(value)*100) AS BIGINT) AS sum_cents_rounded
 FROM events GROUP BY 1, 2
+""",
+        "seq_packing_chunks": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(wc AS BIGINT) AS n_tok,
+       CAST(sum(wc) OVER w - wc AS BIGINT) AS start_offset,
+       CAST((CAST(sum(wc) OVER w - wc AS BIGINT)) // 512 AS BIGINT) AS chunk_id
+FROM (SELECT doc_id, source, {_sql_word_count('text')} AS wc FROM documents)
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "stratified_sample": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT % 1000
+      < CASE WHEN source IN ('src0','src1','src2') THEN 100
+             WHEN source IN ('src3','src4','src5') THEN 250
+             ELSE 500 END
 """,
     }
     ivf = _ivf_oracle_sql()

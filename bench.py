@@ -114,8 +114,12 @@ def run_maintenance(spark, n_rows: int) -> dict:
     deletes = tgt.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 1).select(
         "doc_id", "tokens", "n_tok", "source", F.lit("delete").alias("_op")
     )
+    # insert ids must sit OUTSIDE the table's doc_id range — at ≥50M
+    # rows a fixed offset would collide with update keys (duplicate
+    # source doc_ids)
     inserts = token_dataframe(
-        spark, n_rows // 10, seed=11, max_tok=128, id_offset=50_000_000
+        spark, n_rows // 10, seed=11, max_tok=128,
+        id_offset=max(50_000_000, 2 * n_rows),
     ).withColumn("_op", F.lit("upsert"))
     source = updates.unionByName(deletes).unionByName(inserts).persist()
     source.count()  # build the source outside the timed region
@@ -157,7 +161,7 @@ def run_maintenance(spark, n_rows: int) -> dict:
         F.col("id").alias("_seq"),
     )
     cold = token_dataframe(spark, n_rows // 20, seed=13, max_tok=64,
-                           id_offset=90_000_000).select(
+                           id_offset=max(90_000_000, 3 * n_rows)).select(
         "doc_id", "tokens", "n_tok", "source"
     ).withColumn("_op", F.lit("upsert")).withColumn("_seq", F.lit(0).cast("long"))
     skewed = hot.unionByName(cold).persist()
@@ -353,7 +357,7 @@ _DEEP_MERGE_SRC = (
     "deletes = tgt.filter(F.pmod(F.xxhash64('doc_id'), F.lit(20)) == 1).select(\n"
     "    'doc_id', 'tokens', 'n_tok', 'source', F.lit('delete').alias('_op'))\n"
     "inserts = token_dataframe(spark, %(rows)d // 10, seed=11, max_tok=128,\n"
-    "    id_offset=50_000_000).withColumn('_op', F.lit('upsert'))\n"
+    "    id_offset=max(50_000_000, 2 * %(rows)d)).withColumn('_op', F.lit('upsert'))\n"
     "updates.unionByName(deletes).unionByName(inserts)"
     ".write.mode('overwrite').parquet(%(src_dir)r)\n"
 )
@@ -372,7 +376,7 @@ _DEEP_SKEW_SRC = (
     "    F.lit(1).cast('int').alias('n_tok'), F.lit('web').alias('source'),\n"
     "    F.lit('upsert').alias('_op'), F.col('id').alias('_seq'))\n"
     "cold = token_dataframe(spark, %(rows)d // 20, seed=13, max_tok=64,\n"
-    "    id_offset=90_000_000).select('doc_id', 'tokens', 'n_tok', 'source')\\\n"
+    "    id_offset=max(90_000_000, 3 * %(rows)d)).select('doc_id', 'tokens', 'n_tok', 'source')\\\n"
     "    .withColumn('_op', F.lit('upsert')).withColumn('_seq', F.lit(0).cast('long'))\n"
     "hot.unionByName(cold).write.mode('overwrite').parquet(%(src_dir)r)\n"
 )

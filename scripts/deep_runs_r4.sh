@@ -1,6 +1,6 @@
 #!/bin/bash
-# Round-4 deep scaling runs: merge (the failing criterion), cluster,
-# merge_skewed — sequential so legs never contend.
+# Round-4 deep scaling runs: merge (the failing criterion) FIRST, then
+# cluster, then merge_skewed — sequential so legs never contend.
 set -x
 cd /root/repo
 export SPARK_GRAFT_SCALING_N=1
