@@ -449,33 +449,53 @@ def run_scaling_deep(
     )
     detail: dict[int, list[float]] = {}
     secs: dict[int, list[float]] = {}
+
+    def run_leg(cpus: int) -> dict | None:
+        copy = os.path.join(base, f"copy{cpus}")
+        subprocess.run(["cp", "-al", tbl_dir, copy], check=True)
+        local = tempfile.mkdtemp(prefix=f"fepoc_deep_local_{cpus}_")
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", leg_src % {
+                    "repo": str(Path(__file__).parent), "cpus": cpus,
+                    "copy": copy, "local": local, "src_dir": src_dir,
+                    "rows": rows,
+                    # 256 MB bins over 256 files/source: even the
+                    # skewed web partition's ~50 MB files sit well
+                    # under the threshold, so ALL bytes are compacted
+                    "target": 256 * 1024 * 1024,
+                }],
+                capture_output=True, text=True, timeout=7200,
+            )
+        finally:
+            _sh.rmtree(copy, ignore_errors=True)
+            _sh.rmtree(local, ignore_errors=True)
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            print(f"deep leg cpus={cpus} failed:\n" + out.stderr[-2000:],
+                  file=sys.stderr)
+            return None
+        return json.loads(lines[-1])
+
+    truncated = False
     try:
         for _ in range(reps):
             for cpus in (n_small, n_small * 4):
-                copy = os.path.join(base, f"copy{cpus}")
-                subprocess.run(["cp", "-al", tbl_dir, copy], check=True)
-                local = tempfile.mkdtemp(prefix=f"fepoc_deep_local_{cpus}_")
-                out = subprocess.run(
-                    [sys.executable, "-c", leg_src % {
-                        "repo": str(Path(__file__).parent), "cpus": cpus,
-                        "copy": copy, "local": local, "src_dir": src_dir,
-                        "rows": rows,
-                        # 256 MB bins over 256 files/source: even the
-                        # skewed web partition's ~50 MB files sit well
-                        # under the threshold, so ALL bytes are compacted
-                        "target": 256 * 1024 * 1024,
-                    }],
-                    capture_output=True, text=True, timeout=7200,
-                )
-                _sh.rmtree(copy, ignore_errors=True)
-                _sh.rmtree(local, ignore_errors=True)
-                lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-                if not lines:
+                rec = run_leg(cpus) or run_leg(cpus)  # one retry per leg
+                if rec is None:
+                    # salvage: keep whatever reps landed if BOTH levels
+                    # have at least one, else give up — hours of leg
+                    # data must not be discarded for one bad leg
+                    if detail.get(n_small) and detail.get(n_small * 4):
+                        truncated = True
+                        break
                     raise RuntimeError(
-                        f"deep leg cpus={cpus} failed:\n" + out.stderr[-2000:])
-                rec = json.loads(lines[-1])
+                        f"deep leg cpus={cpus} failed twice with no "
+                        "salvageable reps (see stderr above)")
                 secs.setdefault(cpus, []).append(round(rec["sec"], 1))
                 detail.setdefault(cpus, []).append(round(rec["credited"] / rec["sec"], 1))
+            if truncated:
+                break
     finally:
         _sh.rmtree(base, ignore_errors=True)
 
@@ -488,6 +508,7 @@ def run_scaling_deep(
     return {
         "op": op,
         "rows": rows,
+        "truncated": truncated,
         "detail": detail,
         "leg_secs": secs,
         "efficiency_best": round(max(big) / max(small) / 4, 3),
