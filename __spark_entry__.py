@@ -1136,6 +1136,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a chained near-dup pair list
+    (functions/dedup.py:duplicate_clusters): docs i<20 are planted
+    twice (i+1M and i+2M) giving edge chains i—i+1M—i+2M with NO
+    direct i—i+2M edge, so transitive closure is genuinely exercised.
+    cluster_id = component min (the canonical survivor). The DuckDB
+    oracle computes the same closure with a recursive CTE."""
+    docs = _t(_cfg(spark), sf_dir, "documents").filter(F.col("doc_id") < 20)
+    base = docs.select(F.col("doc_id").cast("long").alias("i"))
+    e1 = base.select(F.col("i").alias("id_a"), (F.col("i") + 1_000_000).alias("id_b"))
+    e2 = base.select(
+        (F.col("i") + 1_000_000).alias("id_a"), (F.col("i") + 2_000_000).alias("id_b")
+    )
+    out = dedup.duplicate_clusters(e1.unionByName(e2))
+    return out.select(F.col("id").cast("long"), F.col("cluster_id").cast("long"))
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(_cfg(spark), sf_dir, "embeddings").select("vec_id", "embedding", "label")
     planted = emb.filter(F.col("vec_id") < 20).select(
@@ -1407,10 +1424,11 @@ ROTATED_OUT = [
     "simhash_signatures",
     # round-4 additions (each hash-matched r01-r03; a checked cousin
     # still exercises the same machinery: t8 windows, t10 pivots,
-    # distinct_counts/order stats aggregation)
+    # distinct_counts/order stats aggregation, rollup grouping sets)
     "window_funcs",
     "pivot_spend",
     "order_percentiles",
+    "cube_revenue",
 ]
 
 
@@ -1433,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing_chunks": q_seq_packing_chunks,
         "seq_packing_bins": q_seq_packing_bins,
         "stratified_sample": q_stratified_sample,
+        "dup_clusters": q_dup_clusters,
         # reference-parity aggregators
         "t8_rolling_window": q_t8_rolling_window,
         "t9_monthly_count": q_t9_monthly_count,
@@ -1453,7 +1472,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": q_q18_large_volume,
         "json_props_stats": q_json_props_stats,
         "rollup_revenue": q_rollup_revenue,
-        "cube_revenue": q_cube_revenue,
         "distinct_counts": q_distinct_counts,
         "outer_join_recon": q_outer_join_recon,
         "set_ops_users": q_set_ops_users,
@@ -1485,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs": q_window_funcs,
         "pivot_spend": q_pivot_spend,
         "order_percentiles": q_order_percentiles,
+        "cube_revenue": q_cube_revenue,
     }
     return ordered
 
@@ -2131,6 +2150,23 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(round(sum(value)*100) AS BIGINT) AS sum_cents_rounded
 FROM events GROUP BY 1, 2
+""",
+        "dup_clusters": """
+WITH RECURSIVE
+base AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 20),
+edges AS (
+  SELECT i AS a, i + 1000000 AS b FROM base
+  UNION ALL
+  SELECT i + 1000000 AS a, i + 2000000 AS b FROM base
+),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(id, label) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, r.label FROM und u JOIN reach r ON u.b = r.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
 """,
         "seq_packing_chunks": f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, source, CAST(wc AS BIGINT) AS n_tok,

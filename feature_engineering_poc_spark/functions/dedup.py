@@ -316,3 +316,65 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR list — the step
+    that turns pairwise similarity output (minhash_lsh_pairs,
+    simhash_near_dup_pairs, embedding_cosine_pairs, ...) into dedup
+    DECISIONS: every document in a component gets the component's
+    minimum id as ``cluster_id`` (the canonical survivor), so
+    "keep one per cluster" is a filter on ``id == cluster_id``.
+
+    Algorithm: min-label propagation — each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(diameter) rounds. Near-dup components are tiny (chains of a few
+    documents), so 2-4 rounds is typical; the loop runs over ROUNDS,
+    not rows (everything inside is DataFrame algebra — one shuffle per
+    round on the edge key), and stops as soon as a round changes no
+    label. At web scale this is the standard iterative-CC shape
+    (label propagation / large-star small-star families); lineage is
+    truncated every round via localCheckpoint so plans stay flat.
+
+    Returns (id, cluster_id).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        und.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # flat plan per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -398,3 +398,23 @@ def test_wav_stereo_downmix():
     assert meta["n_frames"] == sr
     assert abs(feat[1] - 1.0) < 1e-6  # duration: frames, not samples
     assert abs(feat[2] - amp / np.sqrt(2)) < 1e-3  # RMS of the downmix
+
+
+def test_duplicate_clusters_transitive_components(spark):
+    from feature_engineering_poc_spark.functions import dedup
+
+    pairs = spark.createDataFrame(
+        [  # chain 1-2-3-4, star 10-(11,12,13), singleton edge 20-21
+            (2, 1), (2, 3), (3, 4),
+            (10, 11), (10, 12), (13, 10),
+            (20, 21),
+        ],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+    # keep-one-per-cluster is a filter on id == cluster_id
+    keepers = sorted(i for i, c in out.items() if i == c)
+    assert keepers == [1, 10, 20]
