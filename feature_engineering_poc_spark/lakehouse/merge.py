@@ -276,9 +276,15 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
         eff = eff_src.agg(
             F.count("*").alias("n"), F.sum(F.coalesce("n_tok", F.lit(0))).alias("tok")
         ).collect()[0]
-    # exact size estimate from the materialized rewrite side, not a guess
+    # exact size estimate from the materialized rewrite side, not a guess.
+    # The cap is env-tunable: the 64M-row deep run showed the estimate
+    # crossing the default 256 MB between 16M and 64M rows flips every
+    # rewrite unit from a map-side broadcast join to a shuffle join
+    # (BENCH/BASELINE.md merge deep-run analysis) — on a large-heap
+    # driver a bigger cap keeps the broadcast plan.
     src_bytes_est = int((eff.tok or 0) * 4 + (eff.n or 0) * 64)
-    broadcast_src = src_bytes_est < 256 * 1024 * 1024
+    broadcast_cap = int(os.environ.get("FEPOC_MERGE_BROADCAST_CAP", 256 * 1024 * 1024))
+    broadcast_src = src_bytes_est < broadcast_cap
     metrics = {
         "rows_updated": int(op_counts.get("upsert", 0)),
         "rows_deleted": int(op_counts.get("delete", 0)),
