@@ -245,6 +245,50 @@ def q_t7_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_onehots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined T3+T4+T6+T7 parity row — the four one-hot derivers share
+    one codepath (operators/transformers.py one-hot family,
+    TransactionTransformers.scala:84-187), so a single driver row chained
+    through all four (pipeline-style, like the reference's sequential
+    runner) re-verifies the family while using ONE checked-window slot.
+    The individual queries remain in the registry tail with their own
+    r02+r03 hash history and pytest golden rows."""
+    from feature_engineering_poc_spark.operators import (
+        TransactionCategoryDeriver,
+        TransactionChannelDeriver,
+        TransactionModeDeriver,
+        TransactionStatusDeriver,
+    )
+
+    ev = _t(_cfg(spark), sf_dir, "events")
+    chan = _pick(CHANNELS, F.col("user_id"))
+    mode = _pick(MODES, F.col("event_id"))
+    cat = _pick(CATEGORIES, F.col("user_id") + F.col("event_id"))
+    prepared = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 2 == 1, F.lower(chan)).otherwise(chan)
+        .alias("transactionchannel"),
+        F.when(F.col("user_id") % 3 == 0, F.lower(mode)).otherwise(mode)
+        .alias("transactionmode"),
+        cat.alias("merchantcategory"),
+    )
+    out = TransactionStatusDeriver(
+        {"transaction_status_col": "event_type", "output_col_prefix": "et",
+         "status_values": EVENT_TYPES}
+    )(prepared)
+    out = TransactionChannelDeriver({"channel_values": CHANNELS})(out)
+    out = TransactionModeDeriver({"mode_values": MODES})(out)
+    out = TransactionCategoryDeriver({"category_values": CATEGORIES})(out)
+    return out.select(
+        F.col("event_id").cast("long"),
+        *[F.col(f"et_{v.upper()}") for v in EVENT_TYPES],
+        *[F.col(f"transaction_channel_{v}") for v in CHANNELS],
+        *[F.col(f"transaction_mode_{v}") for v in MODES],
+        *[F.col(f"transaction_category_{v}") for v in CATEGORIES],
+    )
+
+
 def q_t5_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_engineering_poc_spark.operators import TransactionValueDeriver
 
@@ -1405,30 +1449,32 @@ SELF_VERIFYING = {
     # carries tokens_conserved / bins_within_capacity / lower-bound
 }
 
-# Hash-matched in every prior driver round; parked past the checked
-# window this round because the registry (59) exceeds the driver's
-# ~50-row record cap. Rotate membership round-to-round so everything
-# re-verifies periodically. The t1-t7 derivers' semantics are also
-# pinned by tests/test_operators.py golden rows; the two signature
-# queries stay exercised transitively by their checked pair queries
-# (minhash_lsh_pairs / simhash_near_dups score over full signatures).
+# Hash-matched in >=2 prior driver rounds; parked past the checked
+# window this round because the registry (64) exceeds the driver's
+# ~50-row record cap. Membership ROTATES round-to-round so everything
+# re-verifies periodically — r5 restored the full r4 park list
+# (t1/t2/t5, signatures, window_funcs/pivot/percentiles/cube) and
+# parked this set instead. t3/t4/t6/t7 are additionally covered by the
+# CHECKED combined `t_onehots` row (same deriver codepath chained) and
+# by tests/test_operators.py golden rows; the analytics queries parked
+# here all have r02+r03+r04 hash history (distinct_counts: r03+r04)
+# and checked cousins exercising the same machinery (q1/q3/q5 joins +
+# aggs, rollup grouping sets, asof/outer joins).
 ROTATED_OUT = [
-    "t1_indicator",
-    "t2_datetime",
     "t3_onehot",
     "t4_channel",
-    "t5_high_value",
     "t6_mode",
     "t7_category",
-    "minhash_signatures",
-    "simhash_signatures",
-    # round-4 additions (each hash-matched r01-r03; a checked cousin
-    # still exercises the same machinery: t8 windows, t10 pivots,
-    # distinct_counts/order stats aggregation, rollup grouping sets)
-    "window_funcs",
-    "pivot_spend",
-    "order_percentiles",
-    "cube_revenue",
+    "q2_max_acctbal",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q22_dormant_customers",
+    "sessionization",
+    "set_ops_users",
+    "json_props_stats",
+    "distinct_counts",
 ]
 
 
@@ -1442,7 +1488,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "stream_merge": q_stream_merge,
-        # new this round — need their first driver records
+        # restored from the r4 park list (r5 rotation; each hash-proven
+        # r02+r03) — fresh driver records this round
+        "t1_indicator": q_t1_indicator,
+        "t2_datetime": q_t2_datetime,
+        "t5_high_value": q_t5_high_value,
+        "t_onehots": q_t_onehots,  # NEW: T3+T4+T6+T7 in one checked slot
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_signatures": q_simhash_signatures,
+        "window_funcs": q_window_funcs,
+        "pivot_spend": q_pivot_spend,
+        "order_percentiles": q_order_percentiles,
+        "cube_revenue": q_cube_revenue,
+        # first driver records landed in r4 (one round of history — stay
+        # checked for a second round)
         "q19_discount_revenue": q_q19_discount_revenue,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q16_parts_supplier": q_q16_parts_supplier,
@@ -1460,22 +1519,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier": q_q5_local_supplier,
-        "q14_promo_revenue": q_q14_promo_revenue,
-        "q2_max_acctbal": q_q2_max_acctbal,
-        "q4_order_priority": q_q4_order_priority,
-        "q7_nation_volume": q_q7_nation_volume,
-        "q9_product_profit": q_q9_product_profit,
-        "q22_dormant_customers": q_q22_dormant_customers,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q10_returned_items": q_q10_returned_items,
         "q15_top_supplier": q_q15_top_supplier,
         "q18_large_volume": q_q18_large_volume,
-        "json_props_stats": q_json_props_stats,
         "rollup_revenue": q_rollup_revenue,
-        "distinct_counts": q_distinct_counts,
         "outer_join_recon": q_outer_join_recon,
-        "set_ops_users": q_set_ops_users,
-        "sessionization": q_sessionization,
         "asof_join": q_asof_join,
         # LLM-pipeline text/dedup/ANN
         "text_stats": q_text_stats,
@@ -1491,19 +1540,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "windowed_event_counts": q_windowed_event_counts,
         # ---- past the driver's ~50-row cap (see ROTATED_OUT) ----
-        "t1_indicator": q_t1_indicator,
-        "t2_datetime": q_t2_datetime,
         "t3_onehot": q_t3_onehot,
         "t4_channel": q_t4_channel,
-        "t5_high_value": q_t5_high_value,
         "t6_mode": q_t6_mode,
         "t7_category": q_t7_category,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash_signatures": q_simhash_signatures,
-        "window_funcs": q_window_funcs,
-        "pivot_spend": q_pivot_spend,
-        "order_percentiles": q_order_percentiles,
-        "cube_revenue": q_cube_revenue,
+        "q2_max_acctbal": q_q2_max_acctbal,
+        "q4_order_priority": q_q4_order_priority,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q9_product_profit": q_q9_product_profit,
+        "q14_promo_revenue": q_q14_promo_revenue,
+        "q22_dormant_customers": q_q22_dormant_customers,
+        "sessionization": q_sessionization,
+        "set_ops_users": q_set_ops_users,
+        "json_props_stats": q_json_props_stats,
+        "distinct_counts": q_distinct_counts,
     }
     return ordered
 
@@ -1734,6 +1784,24 @@ FROM events
         )
         + " FROM events",
         "t7_category": "SELECT CAST(event_id AS BIGINT) AS event_id, "
+        + ", ".join(
+            f"(user_id + event_id) % 5 = {i} AS transaction_category_{v}"
+            for i, v in enumerate(CATEGORIES)
+        )
+        + " FROM events",
+        # combined T3+T4+T6+T7 row: the union of the four one-hot
+        # oracles over the same events scan
+        "t_onehots": f"SELECT CAST(event_id AS BIGINT) AS event_id, {et_flags}, "
+        + ", ".join(
+            f"user_id % 5 = {i} AS transaction_channel_{v}"
+            for i, v in enumerate(CHANNELS)
+        )
+        + ", "
+        + ", ".join(
+            f"event_id % 5 = {i} AS transaction_mode_{v}"
+            for i, v in enumerate(MODES)
+        )
+        + ", "
         + ", ".join(
             f"(user_id + event_id) % 5 = {i} AS transaction_category_{v}"
             for i, v in enumerate(CATEGORIES)

@@ -377,4 +377,13 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means some
+        # component's diameter exceeds the round budget — returning
+        # silently would hand back WRONG cluster_ids (transitive chains
+        # are exactly the adversarial near-dup case)
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

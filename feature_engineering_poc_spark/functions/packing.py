@@ -53,14 +53,22 @@ def chunk_assignments(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum(size_col).over(w) - F.col(size_col)).cast("long")
+    # `div` = true integer division on longs. Float division + cast is
+    # only exact below 2^53 — a per-group token stream near 9e15 tokens
+    # (100 TB-pipeline territory) would round to wrong chunk ids, and
+    # the DuckDB oracle's `//` is integer division.
     return df.withColumn("start_offset", start).withColumn(
-        "chunk_id", (F.col("start_offset") / F.lit(chunk_tokens)).cast("long")
+        "chunk_id", F.expr(f"start_offset div {int(chunk_tokens)}")
     )
 
 
 _BIN_SCHEMA = T.StructType(
     [
         T.StructField("group", T.StringType()),
+        # bin_id is only unique within (group, shard) — the shard is
+        # part of the bin's identity and is emitted so downstream
+        # consumers can key bins as (group, shard, bin_id)
+        T.StructField("shard", T.LongType()),
         T.StructField("bin_id", T.LongType()),
         T.StructField("n_docs", T.LongType()),
         T.StructField("total_tokens", T.LongType()),
@@ -80,11 +88,13 @@ def pack_bins_ffd(
 ) -> DataFrame:
     """First-fit-decreasing packing per group (no straddling).
 
-    Returns one row per bin: (group, bin_id, n_docs, total_tokens,
-    oversize, doc_ids). Deterministic: docs sorted by (size desc, id)
-    before first-fit, so every run packs identically. ``shards > 1``
-    splits a group by ``hash(id) % shards`` for intra-group
-    parallelism at the cost of some fill.
+    Returns one row per bin: (group, shard, bin_id, n_docs,
+    total_tokens, oversize, doc_ids). Deterministic: docs sorted by
+    (size desc, id) before first-fit, so every run packs identically.
+    ``shards > 1`` splits a group by ``hash(id) % shards`` for
+    intra-group parallelism at the cost of some fill; bin identity is
+    (group, shard, bin_id) — bin_id alone repeats across shards (and
+    shard is 0 when sharding is off).
     """
     keys = [group_col] if shards <= 1 else [group_col, "_shard"]
     src = df.select(
@@ -104,11 +114,12 @@ def pack_bins_ffd(
             zip(pdf[id_col], pdf[size_col]), key=lambda r: (-r[1], r[0])
         )
         group = pdf[group_col].iloc[0]
+        shard = int(pdf["_shard"].iloc[0]) if "_shard" in pdf.columns else 0
         bins: list[list] = []  # [remaining, n_docs, total, ids]
         out = []
         for doc, size in rows:
             if size > capacity:
-                out.append((group, -1, 1, int(size), True, [doc]))
+                out.append((group, shard, -1, 1, int(size), True, [doc]))
                 continue
             for b in bins:
                 if b[0] >= size:
@@ -120,18 +131,20 @@ def pack_bins_ffd(
             else:
                 bins.append([capacity - size, 1, size, [doc]])
         for i, b in enumerate(bins):
-            out.append((group, i, b[1], int(b[2]), False, b[3]))
+            out.append((group, shard, i, b[1], int(b[2]), False, b[3]))
         # oversize rows get stable negative ids after the loop
         fixed = []
         n_over = 0
         for r in out:
-            if r[1] == -1:
+            if r[2] == -1:
                 n_over += 1
-                fixed.append((r[0], -n_over, r[2], r[3], r[4], r[5]))
+                fixed.append((r[0], r[1], -n_over, r[3], r[4], r[5], r[6]))
             else:
                 fixed.append(r)
         return pd.DataFrame(
-            fixed, columns=["group", "bin_id", "n_docs", "total_tokens", "oversize", "doc_ids"]
+            fixed,
+            columns=["group", "shard", "bin_id", "n_docs", "total_tokens",
+                     "oversize", "doc_ids"],
         )
 
     return src.groupBy(*keys).applyInPandas(pack, _BIN_SCHEMA)

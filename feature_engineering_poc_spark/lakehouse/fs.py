@@ -84,12 +84,24 @@ def file_mtime(path) -> float | None:
 
 
 def delete(path) -> None:
-    """Delete one file; missing files are not an error (idempotent GC)."""
+    """Delete one file; missing files are not an error (idempotent GC).
+
+    ONLY not-found is swallowed — permission/IO failures must propagate,
+    or expire/GC would report files deleted that still exist.
+    """
+    from pyarrow import lib as palib
+
     filesystem, p = resolve(path)
     try:
         filesystem.delete_file(p)
-    except (FileNotFoundError, OSError):
+    except FileNotFoundError:
         pass
+    except (OSError, palib.ArrowInvalid) as e:
+        # pyarrow surfaces local not-found as FileNotFoundError but some
+        # filesystems raise generic errors with a not-found message
+        if "No such file" in str(e) or "not found" in str(e).lower():
+            return
+        raise
 
 
 def delete_files(

@@ -23,11 +23,23 @@ Scale shape:
    set + the matched-keys DataFrame (stays distributed; only the
    distinct file list is collected, as in Iceberg driver planning).
 3. REWRITE per partition unit (resumable, lineage-checkpointed): read
-   touched files, LEFT join deduped source on doc_id (broadcast when
-   the source's estimated size fits an executor; AQE skew-join covers
-   partition-level skew — key-level skew was already defused by the
-   salted dedupe), apply update/delete, write range-partitioned
-   sorted output.
+   touched files, LEFT join the unit's OWN slice of the effective
+   source on doc_id (the probe join assigns every matched key to the
+   partition unit whose files hold it, so each unit broadcasts ONLY
+   its rows — per-unit volume is bounded by that unit's matched rows
+   at ANY total source size; AQE skew-join covers the shuffle
+   fallback for a unit whose slice exceeds the heap-aware cap —
+   key-level skew was already defused by the salted dedupe), apply
+   update/delete, write range-partitioned sorted output.
+
+   Why per-unit KEY assignment and not a min/max doc_id range filter:
+   the table layout hash-distributes doc_ids across a partition's
+   files (generator.write_token_table repartitions round-robin), so
+   every file's [min_doc_id, max_doc_id] envelope spans nearly the
+   whole key range and a range filter would keep ~everything. The
+   probe join already knows the exact file (hence unit) of every
+   matched key; carrying that through bounds each unit's join side
+   exactly, independent of physical layout.
 4. INSERT unit: source anti-join matched keys → ONE partitionBy write.
 5. COMMIT: manifest − touched files + rewritten + inserted; atomic
    snapshot swap. Old snapshots untouched (snapshot isolation).
@@ -39,10 +51,10 @@ exactly THREE blocking aggregations before the rewrite fan-out:
   duplicate detection — previously four separate jobs);
 - one grouped collect over the persisted probe join (touched-file set
   AND per-op matched counts in the same result — previously two);
-- one tiny agg over the persisted EFFECTIVE source (matched rows only,
-  delete payloads dropped) whose materialization replaces a
-  full-source shuffle join in every rewrite unit and yields an exact
-  broadcast-size estimate.
+- one tiny grouped agg over the persisted EFFECTIVE source (matched
+  rows only, delete payloads dropped, tagged with their rewrite unit)
+  whose materialization replaces a full-source shuffle join in every
+  rewrite unit and yields an exact PER-UNIT broadcast-size estimate.
 
 The insert path is a single ``partitionBy`` write whose row count comes
 from the parquet footers the manifest needs anyway (previously a
@@ -88,6 +100,44 @@ class _Phase:
     def __exit__(self, *exc):
         if _TIMING:
             print(f"MERGE_PHASE {self.name} {time.time() - self.t0:.2f}s", flush=True)
+
+
+def _parse_size(s: str) -> int:
+    """'48g' / '512m' / '1024k' / bytes → bytes (Spark size-string subset)."""
+    s = s.strip().lower()
+    for suffix, mult in (("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
+def _broadcast_cap(spark: SparkSession) -> int:
+    """Per-rewrite-unit broadcast cap, derived from the LIVE JVM heap.
+
+    ``FEPOC_MERGE_BROADCAST_CAP`` overrides. Otherwise: heap/16 — up to
+    8 rewrite units broadcast concurrently (ThreadPoolExecutor below),
+    and the in-heap hash relation costs ~2× the raw estimate, so worst
+    case ≈ heap/2 of broadcast residency. Clamped to 80% of
+    ``spark.driver.maxResultSize`` when one is set (broadcast relations
+    are built through driver collection) and floored at 64 MB.
+    """
+    env = os.environ.get("FEPOC_MERGE_BROADCAST_CAP")
+    if env is not None:
+        return int(env)
+    try:
+        heap = int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+    except Exception:  # non-JVM-introspectable session (e.g. Connect)
+        return 256 * 1024 * 1024
+    cap = max(64 * 1024 * 1024, heap // 16)
+    try:
+        mrs = _parse_size(spark.conf.get("spark.driver.maxResultSize", "1g"))
+        if mrs > 0:  # 0 = unlimited
+            cap = min(cap, int(mrs * 0.8))
+    except Exception:
+        pass
+    return cap
 
 
 def _prepare_source(
@@ -221,15 +271,35 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
     # is a plain equi-join; AQE skew-join covers residual
     # partition-level skew.
     if cand_files:
+        # file → partition-unit lookup from the manifest rows already in
+        # hand (driver-planning-sized, like Iceberg's file lists); the
+        # broadcast join tags every matched key with the rewrite unit
+        # whose file holds it, which is what lets each rewrite unit
+        # later join ONLY its own slice of the effective source.
+        file_units = F.broadcast(
+            spark.createDataFrame(
+                [(_norm(r["file_path"]), r["partition"]) for r in cand_rows],
+                "file_path string, _unit string",
+            )
+        )
         probe = (
             spark.read.schema(TOKEN_SCHEMA)
             .parquet(*cand_files)
-            .select("doc_id", F.input_file_name().alias("file_path"))
+            .select(
+                "doc_id",
+                F.regexp_replace(
+                    F.input_file_name(), "^file:(//)?", ""
+                ).alias("file_path"),
+            )
         )
-        matched = probe.join(src.select("doc_id", "_op"), "doc_id").persist()
+        matched = (
+            probe.join(file_units, "file_path")
+            .join(src.select("doc_id", "_op"), "doc_id")
+            .persist()
+        )
     else:
         matched = spark.createDataFrame(
-            [], "doc_id string, file_path string, _op string"
+            [], "file_path string, doc_id string, _unit string, _op string"
         ).persist()
     with _Phase("probe_collect"):
         probe_rows = (
@@ -258,33 +328,40 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
         touched_files = {f for r in probe_rows for f in r.files}
 
     # EFFECTIVE rewrite source: only rows whose key matched a target row
-    # (inserts never join the rewrite), and delete rows shed their
-    # payload (only the op matters). One semi-join shuffle HERE replaces
-    # a full-source shuffle join in EVERY rewrite unit, and the shrunken
-    # result is usually broadcastable even when the raw source was not.
+    # (inserts never join the rewrite), each tagged with the rewrite
+    # unit that holds it, and delete rows shed their payload (only the
+    # op matters). One join shuffle HERE replaces a full-source shuffle
+    # join in EVERY rewrite unit, and because each unit later filters to
+    # its OWN `_unit` slice, the per-unit broadcast volume is bounded by
+    # that unit's matched rows at ANY source scale — this is the fix for
+    # the 64M-row broadcast→shuffle plan flip (BENCH/BASELINE.md merge
+    # deep-run analysis). The distinct() guards against a key probed in
+    # more than one unit (a malformed table with duplicate doc_ids must
+    # not fan out target rows through the inner join).
     eff_src = (
-        src.join(matched.select("doc_id"), "doc_id", "left_semi")
+        src.join(matched.select("doc_id", "_unit").distinct(), "doc_id")
         .select(
             "doc_id",
             F.when(F.col("_op") == "upsert", F.col("tokens")).alias("tokens"),
             F.when(F.col("_op") == "upsert", F.col("n_tok")).alias("n_tok"),
             "_op",
+            "_unit",
         )
         .persist()
     )
+    # exact PER-UNIT size estimates from the materialized rewrite side,
+    # not a guess — same single blocking agg as before, now grouped.
     with _Phase("eff_src_agg"):
-        eff = eff_src.agg(
-            F.count("*").alias("n"), F.sum(F.coalesce("n_tok", F.lit(0))).alias("tok")
-        ).collect()[0]
-    # exact size estimate from the materialized rewrite side, not a guess.
-    # The cap is env-tunable: the 64M-row deep run showed the estimate
-    # crossing the default 256 MB between 16M and 64M rows flips every
-    # rewrite unit from a map-side broadcast join to a shuffle join
-    # (BENCH/BASELINE.md merge deep-run analysis) — on a large-heap
-    # driver a bigger cap keeps the broadcast plan.
-    src_bytes_est = int((eff.tok or 0) * 4 + (eff.n or 0) * 64)
-    broadcast_cap = int(os.environ.get("FEPOC_MERGE_BROADCAST_CAP", 256 * 1024 * 1024))
-    broadcast_src = src_bytes_est < broadcast_cap
+        eff_rows = (
+            eff_src.groupBy("_unit")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.coalesce("n_tok", F.lit(0))).alias("tok"),
+            )
+            .collect()
+        )
+    unit_bytes = {r._unit: int((r.tok or 0) * 4 + r.n * 64) for r in eff_rows}
+    broadcast_cap = _broadcast_cap(spark)
     metrics = {
         "rows_updated": int(op_counts.get("upsert", 0)),
         "rows_deleted": int(op_counts.get("delete", 0)),
@@ -295,13 +372,15 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
 
     def run_rewrite_unit(part: str, files_p: list[str]) -> None:
         target_p = spark.read.schema(TOKEN_SCHEMA).parquet(*files_p)
-        src_side = eff_src.select(
+        # this unit's OWN slice of the effective source — a cache-local
+        # filter on the persisted eff_src, never the whole thing
+        src_side = eff_src.filter(F.col("_unit") == part).select(
             F.col("doc_id").alias("s_doc_id"),
             F.col("tokens").alias("s_tokens"),
             F.col("n_tok").alias("s_n_tok"),
             F.col("_op").alias("s_op"),
         )
-        if broadcast_src:
+        if unit_bytes.get(part, 0) < broadcast_cap:
             src_side = F.broadcast(src_side)
         joined = target_p.alias("t").join(
             src_side, F.col("t.doc_id") == F.col("s_doc_id"), "left"
@@ -414,6 +493,10 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
             metrics[k] += rec["metrics"].get(k, 0)
     summary = {**metrics, "files_rewritten": len(removed), "files_written": len(new_rows),
                "candidate_files": len(cand_files), "touched_files": len(touched_files),
+               "broadcast_cap": broadcast_cap,
+               "units_broadcast": sum(
+                   1 for p, _ in pending if unit_bytes.get(p, 0) < broadcast_cap
+               ),
                "job_tag": job_tag}
     with _Phase("commit"):
         # manifest-delta commit: driver-side pyarrow for small manifests

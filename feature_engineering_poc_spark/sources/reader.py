@@ -119,6 +119,22 @@ def _delta_log_live_files(location: str) -> list[str] | None:
             if not line:
                 continue
             action = json.loads(line)
+            if "protocol" in action:
+                # reader-version-2+ features (deletion vectors, column
+                # mapping, ...) change which rows/columns an `add` file
+                # contributes — a plain add/remove replay would silently
+                # include logically-deleted rows or mis-map columns
+                proto = action["protocol"]
+                if (
+                    proto.get("minReaderVersion", 1) > 1
+                    or proto.get("readerFeatures")
+                ):
+                    raise ValueError(
+                        f"Delta table at {location} declares reader "
+                        f"protocol {proto}; offline add/remove replay "
+                        "cannot honor reader features (deletion vectors, "
+                        "column mapping, ...) — use a real Delta reader"
+                    )
             if "add" in action:
                 live.add(unquote(action["add"]["path"]))
             elif "remove" in action:

@@ -84,3 +84,18 @@ def test_fs_helpers_roundtrip(tmp_path):
     assert fslayer.file_mtime(str(tmp_path / "missing")) is None
     fslayer.delete(uri)
     assert fslayer.file_mtime(uri) is None
+
+
+def test_fs_delete_missing_is_noop_but_real_errors_propagate(tmp_path):
+    import pytest
+
+    # idempotent GC: deleting a missing file is fine
+    fslayer.delete(str(tmp_path / "never_existed"))
+    # ...but a genuine IO failure (here: target is a directory) must NOT
+    # be swallowed — expire/GC would otherwise report success on files
+    # that still exist
+    d = tmp_path / "a_directory"
+    d.mkdir()
+    with pytest.raises(Exception):
+        fslayer.delete(str(d))
+    assert d.exists()

@@ -418,3 +418,22 @@ def test_duplicate_clusters_transitive_components(spark):
     # keep-one-per-cluster is a filter on id == cluster_id
     keepers = sorted(i for i, c in out.items() if i == c)
     assert keepers == [1, 10, 20]
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iter must raise, not
+    silently return wrong cluster_ids (long transitive chains are the
+    adversarial near-dup case)."""
+    import pytest
+
+    from feature_engineering_poc_spark.functions import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(chain, max_iter=2).collect()
+    # the same chain converges with an adequate round budget
+    out = {r.id: r.cluster_id
+           for r in dedup.duplicate_clusters(chain, max_iter=20).collect()}
+    assert set(out.values()) == {0}

@@ -154,3 +154,63 @@ def test_merge_empty_source_noop(spark, table):
     empty = spark.createDataFrame([], "doc_id string, tokens array<int>, n_tok int, source string")
     result = merge_into(spark, table, empty)
     assert result["snapshot_id"] is None
+
+
+def test_broadcast_cap_heap_aware(spark, monkeypatch):
+    from feature_engineering_poc_spark.lakehouse.merge import (
+        _broadcast_cap,
+        _parse_size,
+    )
+
+    assert _parse_size("48g") == 48 << 30
+    assert _parse_size("512m") == 512 << 20
+    assert _parse_size("1024") == 1024
+    monkeypatch.setenv("FEPOC_MERGE_BROADCAST_CAP", "12345")
+    assert _broadcast_cap(spark) == 12345
+    monkeypatch.delenv("FEPOC_MERGE_BROADCAST_CAP")
+    cap = _broadcast_cap(spark)
+    heap = int(spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    mrs = _parse_size(spark.conf.get("spark.driver.maxResultSize"))
+    # heap/16 concurrency-safe slice, floored at 64 MB, clamped under
+    # the driver collection limit
+    assert cap == min(max(64 << 20, heap // 16), int(mrs * 0.8))
+
+
+def test_merge_per_unit_broadcast_and_shuffle_fallback(spark, table, monkeypatch):
+    """Same merge under forced-shuffle (cap=0) and default (broadcast)
+    caps must agree — the per-unit slice is plan-invariant — and the
+    summary must record the cap and how many units broadcast."""
+    src = _source(spark, table).persist()
+    src_pd = src.toPandas().sort_values(["doc_id", "_op"]).reset_index(drop=True)
+
+    monkeypatch.setenv("FEPOC_MERGE_BROADCAST_CAP", "0")  # force shuffle units
+    r_shuffle = merge_into(spark, table, src)
+    assert r_shuffle["broadcast_cap"] == 0
+    assert r_shuffle["units_broadcast"] == 0
+    shuffled = table.scan(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    monkeypatch.delenv("FEPOC_MERGE_BROADCAST_CAP")
+    import shutil
+    import tempfile
+
+    d2 = tempfile.mkdtemp(prefix="fepoc_merge_bc_")
+    try:
+        t2 = write_token_table(
+            spark, d2 + "/t", n_rows=1000, files_per_source=4, max_tok=64
+        )
+        r_bcast = merge_into(spark, t2, src)
+        # every touched partition unit fits the heap-aware cap here
+        assert r_bcast["units_broadcast"] >= 1
+        assert r_bcast["broadcast_cap"] > 0
+        bcast = t2.scan(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+    src.unpersist()
+
+    assert r_shuffle["rows_updated"] == r_bcast["rows_updated"]
+    assert r_shuffle["rows_deleted"] == r_bcast["rows_deleted"]
+    assert r_shuffle["rows_inserted"] == r_bcast["rows_inserted"]
+    assert list(shuffled.doc_id) == list(bcast.doc_id)
+    assert list(shuffled.n_tok) == list(bcast.n_tok)
+    assert all(list(a) == list(b) for a, b in zip(shuffled.tokens, bcast.tokens))
+    assert len(src_pd) > 0  # sanity: the merge actually did work

@@ -94,6 +94,29 @@ def test_pack_bins_deterministic_under_partitioning(spark):
         assert len(tots) >= math.ceil(sum(tots) / 512)
 
 
+def test_pack_bins_sharded_bin_identity_unique(spark):
+    """shards > 1 packs per (group, shard); the emitted shard column
+    must keep (group, shard, bin_id) unique — bin_id alone repeats
+    across shards — and conservation must still hold."""
+    df = spark.range(300).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit("s0").alias("source"),
+        (F.pmod(F.xxhash64("id"), F.lit(700)) + 1).alias("n_tok"),
+    )
+    bins = pack_bins_ffd(df, capacity=512, shards=4).collect()
+    assert {b.shard for b in bins} > {0}  # really packed per shard
+    keys = [(b.group, b.shard, b.bin_id) for b in bins]
+    assert len(keys) == len(set(keys))
+    # bin_id alone DOES collide across shards (the bug the shard column fixes)
+    assert len({(b.group, b.bin_id) for b in bins}) < len(bins)
+    packed = sorted(d for b in bins for d in b.doc_ids)
+    assert packed == sorted(f"d{i}" for i in range(300))
+    for b in bins:
+        assert b.oversize if b.total_tokens > 512 else b.total_tokens <= 512
+    # unsharded output carries shard=0 for every bin
+    assert {b.shard for b in pack_bins_ffd(df, capacity=512).collect()} == {0}
+
+
 def test_driver_packing_row_self_verifies(spark):
     import __spark_entry__ as entrymod
 

@@ -184,6 +184,60 @@ def test_delta_source_with_checkpoint_fails_fast(spark, tmp_path):
         read_source(spark, sd)
 
 
+def test_delta_source_reader_v2_protocol_fails_fast(spark, tmp_path):
+    """A protocol action declaring minReaderVersion > 1 or any
+    readerFeatures (deletion vectors, column mapping, ...) means plain
+    add/remove replay would silently return wrong rows/columns — the
+    reader must refuse, exactly like the checkpoint guard."""
+    import json
+
+    from feature_engineering_poc_spark.config import SourceDefinition
+    from feature_engineering_poc_spark.sources import read_source
+
+    for proto in (
+        {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["deletionVectors"]},
+        {"minReaderVersion": 2, "minWriterVersion": 5},
+    ):
+        root = tmp_path / f"dtab{proto['minReaderVersion']}"
+        log = root / "_delta_log"
+        log.mkdir(parents=True)
+        (log / "00000000000000000000.json").write_text(
+            json.dumps({"protocol": proto}) + "\n"
+            + json.dumps({"add": {"path": "part-0.parquet"}}) + "\n"
+        )
+        sd = SourceDefinition(name="d", version="1", type="delta", location=str(root))
+        with pytest.raises(ValueError, match="protocol"):
+            read_source(spark, sd)
+
+
+def test_delta_source_reader_v1_protocol_is_fine(spark, tmp_path):
+    import json
+
+    from feature_engineering_poc_spark.config import SourceDefinition
+    from feature_engineering_poc_spark.sources import read_source
+
+    root = tmp_path / "dtab_v1"
+    root.mkdir()
+    spark.createDataFrame([(1, "x")], "id int, v string").coalesce(1).write.parquet(
+        str(root / "_stage")
+    )
+    import shutil
+
+    f = next((root / "_stage").glob("*.parquet"))
+    shutil.move(str(f), str(root / "part-0.parquet"))
+    shutil.rmtree(root / "_stage")
+    log = root / "_delta_log"
+    log.mkdir()
+    (log / "00000000000000000000.json").write_text(
+        json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        + "\n"
+        + json.dumps({"add": {"path": "part-0.parquet"}}) + "\n"
+    )
+    sd = SourceDefinition(name="d", version="1", type="delta", location=str(root))
+    assert read_source(spark, sd).count() == 1
+
+
 def test_plain_delta_dir_without_log_reads_parquet(spark, tmp_path):
     """Our own sink's delta→parquet output has no _delta_log; plain
     parquet read remains correct for it."""
