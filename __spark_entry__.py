@@ -1398,6 +1398,67 @@ def q_lakehouse_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curve_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs Hilbert pruning quality, measured — the evidence
+    behind the curve choice (SURVEY §2.3 Z/Hilbert mandate). The SAME
+    table content is clustered once under each curve and probed with
+    the SAME conjunctive 2-D range predicate (n_tok box × doc_id box)
+    through manifest min/max pruning (clustering.prune_files). Rows-only
+    but SELF-VERIFYING: each curve must preserve the scan fingerprint
+    (scan_equal) and strictly beat the unclustered baseline's
+    surviving-file ratio (*_improves); the per-curve survive-permille
+    columns quantify which curve prunes harder. Hilbert typically edges
+    Z-order on 2-D boxes (no Z-jump discontinuities — Skilling 2004 /
+    the classic SFC locality results); the row records the measurement
+    rather than asserting folklore."""
+    from feature_engineering_poc_spark.lakehouse import (
+        scan_fingerprint,
+        write_token_table,
+    )
+    from feature_engineering_poc_spark.lakehouse.clustering import cluster, prune_files
+
+    _cfg(spark)
+    pred = dict(
+        n_tok_range=(16, 64),
+        doc_id_range=("doc000000000500", "doc000000001500"),
+    )
+    survive: dict[str, float] = {}
+    equal: dict[str, bool] = {}
+    base = 1.0
+    for curve in ("zorder", "hilbert"):
+        root = tempfile.mkdtemp(prefix=f"fepoc_q_curve_{curve}_")
+        try:
+            t = write_token_table(
+                spark, root, n_rows=6000, files_per_source=8, max_tok=256
+            )
+            m0 = t.manifest_df(spark)
+            base = prune_files(m0, **pred).count() / max(m0.count(), 1)
+            before = scan_fingerprint(t.scan(spark))
+            cluster(spark, t, curve=curve, target_file_bytes=48 * 1024)
+            equal[curve] = bool(
+                before.xor_hash == scan_fingerprint(t.scan(spark)).xor_hash
+            )
+            m1 = t.manifest_df(spark)
+            survive[curve] = prune_files(m1, **pred).count() / max(m1.count(), 1)
+        finally:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            bool(equal["zorder"] and equal["hilbert"]),
+            bool(survive["zorder"] < base),
+            bool(survive["hilbert"] < base),
+            int(round(1000 * survive["zorder"])),
+            int(round(1000 * survive["hilbert"])),
+            int(round(1000 * base)),
+        )],
+        "scan_equal boolean, zorder_improves boolean, hilbert_improves boolean, "
+        "zorder_survive_permille long, hilbert_survive_permille long, "
+        "baseline_survive_permille long",
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feature_engineering_poc_spark.functions import multimodal as mm
 
@@ -1447,6 +1508,8 @@ SELF_VERIFYING = {
     "ann_lsh_topk",
     "seq_packing_bins",  # FFD feasibility is sequential, not SQL; row
     # carries tokens_conserved / bins_within_capacity / lower-bound
+    "curve_pruning",  # zorder-vs-hilbert files-survive measurement over
+    # a freshly built+clustered table; scan_equal + *_improves asserted
 }
 
 # Hash-matched in >=2 prior driver rounds; parked past the checked
@@ -1475,6 +1538,7 @@ ROTATED_OUT = [
     "set_ops_users",
     "json_props_stats",
     "distinct_counts",
+    "rollup_revenue",
 ]
 
 
@@ -1488,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
         "stream_merge": q_stream_merge,
+        "curve_pruning": q_curve_pruning,  # NEW r5 (self-verifying)
         # restored from the r4 park list (r5 rotation; each hash-proven
         # r02+r03) — fresh driver records this round
         "t1_indicator": q_t1_indicator,
@@ -1523,7 +1588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q_q10_returned_items,
         "q15_top_supplier": q_q15_top_supplier,
         "q18_large_volume": q_q18_large_volume,
-        "rollup_revenue": q_rollup_revenue,
         "outer_join_recon": q_outer_join_recon,
         "asof_join": q_asof_join,
         # LLM-pipeline text/dedup/ANN
@@ -1554,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_users": q_set_ops_users,
         "json_props_stats": q_json_props_stats,
         "distinct_counts": q_distinct_counts,
+        "rollup_revenue": q_rollup_revenue,
     }
     return ordered
 

@@ -60,6 +60,19 @@ def test_ann_driver_queries_self_verifying(spark, qname):
     assert permilles.pop() >= 500
 
 
+def test_curve_pruning_row_self_verifies(spark):
+    """The zorder-vs-hilbert driver row: both curves must preserve the
+    scan fingerprint and strictly improve 2-D box pruning over the
+    unclustered manifest; the permille columns are the measurement."""
+    rows = entrymod.queries()["curve_pruning"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.scan_equal
+    assert r.zorder_improves and r.hilbert_improves
+    assert 0 < r.zorder_survive_permille < r.baseline_survive_permille
+    assert 0 < r.hilbert_survive_permille < r.baseline_survive_permille
+
+
 def test_ivf_centroids_spark_and_local_trainers_identical(spark):
     """The exact ann_ivf_topk oracle rests on this: the Spark-sampled
     trainer and the pyarrow/hashlib trainer produce BIT-IDENTICAL
