@@ -471,6 +471,11 @@ def run_scaling_deep(
             _sh.rmtree(copy, ignore_errors=True)
             _sh.rmtree(local, ignore_errors=True)
         lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        # surface the env-gated phase timers (FEPOC_MERGE_TIMING=1) so a
+        # deep run doubles as the per-leg Amdahl phase profile
+        for l in out.stdout.splitlines():
+            if l.startswith("MERGE_PHASE"):
+                print(f"[leg cpus={cpus}] {l}", file=sys.stderr)
         if not lines:
             print(f"deep leg cpus={cpus} failed:\n" + out.stderr[-2000:],
                   file=sys.stderr)

@@ -30,7 +30,10 @@ Scale shape:
    at ANY total source size; AQE skew-join covers the shuffle
    fallback for a unit whose slice exceeds the heap-aware cap —
    key-level skew was already defused by the salted dedupe), apply
-   update/delete, write range-partitioned sorted output.
+   update/delete, stream straight to sorted parquet — ZERO shuffle on
+   the broadcast path (coalesce + in-task sort; no persist, no range
+   sampling, no exchange — the join output crosses the memory bus
+   exactly once).
 
    Why per-unit KEY assignment and not a min/max doc_id range filter:
    the table layout hash-distributes doc_ids across a partition's
@@ -188,14 +191,28 @@ def merge_into(
     full-table merges can't blow up driver memory on ``collect_set``.
     """
     parent = table.current_snapshot_id()
-    src = _prepare_source(source_df, duplicate_policy, salt).persist()
+    src = _prepare_source(source_df, duplicate_policy, salt)
+    # Persist the prepared source only when it adds real work over the
+    # caller's DataFrame: the "last"-policy dedupe is a shuffle worth
+    # caching, but under policy="error" the preparation is a trivial
+    # projection — if the caller already persisted the input (the
+    # common ingest shape), re-caching it here would burn a full
+    # serialize+spill pass of the token payload inside the merge.
+    own_persist = (
+        duplicate_policy == "last"
+        or source_df.storageLevel.useMemory is False
+        and source_df.storageLevel.useDisk is False
+    )
+    if own_persist:
+        src = src.persist()
     try:
         return _merge(
             spark, table, src, parent, duplicate_policy, job_id,
             max_touched_files, _fail_after_units,
         )
     finally:
-        src.unpersist()
+        if own_persist:
+            src.unpersist()
 
 
 def _merge(spark, table, src, parent, duplicate_policy, job_id,
@@ -400,16 +417,23 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
         )
         out_dir = out_root / part
         n_out = max(1, len(files_p) // 2)  # merged output ≈ input volume
-        # persist before the range write: repartitionByRange's sampling
-        # pass would otherwise re-execute the whole join
-        rewritten = rewritten.persist()
+        # ONE pass, ZERO shuffle: the broadcast join streams each scan
+        # split straight through coalesce into a small in-task sort and
+        # the parquet encoder. The previous shape (persist → range
+        # sampling job → range shuffle → write) materialized the full
+        # joined unit into the block cache and then moved it again
+        # through a shuffle — three extra full-data trips over the
+        # memory bus that showed up as the residual Amdahl serial term
+        # in the 64M deep run (BENCH/BASELINE.md r5 analysis). Range
+        # layout bought nothing here: the table's files are round-robin
+        # distributed, so pre- and post-merge envelopes span the full
+        # key range either way; re-clustering is clustering.py's job.
         (
-            rewritten.repartitionByRange(n_out, "doc_id")
+            rewritten.coalesce(n_out)
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(str(out_dir))
         )
-        rewritten.unpersist()
         new_files = list_parquet_files(out_dir)
         stats = [r.asDict() for r in file_stats_df(spark, [(f, part) for f in new_files]).collect()]
         log.mark_unit_done(
@@ -451,18 +475,21 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
             src.filter(F.col("_op") == "upsert")
             .join(matched.select("doc_id"), "doc_id", "left_anti")
             .select("doc_id", "tokens", "n_tok", "source")
-        ).persist()
+        )
         ins_dir = out_root / "_inserts"
         n_out = max(1, spark.sparkContext.defaultParallelism // 2)
+        # hash repartition, not repartitionByRange: range sampling is a
+        # second action over the anti-join (forcing a persist of the
+        # full insert payload to keep it single-execution); a hash
+        # exchange needs neither — one shuffle, one pass, no cache.
         (
             inserts.withColumn("_part", F.col("source"))
-            .repartitionByRange(n_out, "source", "doc_id")
+            .repartition(n_out, "source", "doc_id")
             .sortWithinPartitions("source", "doc_id")
             .write.mode("overwrite")
             .partitionBy("_part")
             .parquet(str(ins_dir))
         )
-        inserts.unpersist()
         pairs = []
         for d in sorted(ins_dir.glob("_part=*")):
             part_val = unquote(d.name.split("=", 1)[1])
