@@ -1208,6 +1208,54 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/contamination.py): training
+    docs sharing word n-grams with an eval set — here every 7th doc
+    plays the benchmark. Bench-gram set broadcast, corpus tagged
+    map-side, ONE groupBy(doc) shuffle; the corpus text never
+    self-joins or shuffles. No reference counterpart (the reference
+    has no text operators); part of the LLM-pipeline extension."""
+    from feature_engineering_poc_spark.functions.contamination import (
+        contamination_overlap,
+    )
+
+    docs = _t(_cfg(spark), sf_dir, "documents").filter(F.col("doc_id") < 300)
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    out = contamination_overlap(docs, bench, n=5)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_shingles").cast("long"),
+        F.col("n_hits").cast("long"),
+        F.col("overlap_permille").cast("long"),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.py redact_pii): plant deterministic
+    emails/phones/IPs into each doc, redact, report counts + md5 of
+    the redacted text (md5 is engine-identical, so the oracle checks
+    the full redacted string). Pure Column regexes, zero shuffle."""
+    docs = _t(_cfg(spark), sf_dir, "documents").filter(F.col("doc_id") < 400)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-010-2"),
+            F.lpad(F.col("doc_id").cast("string"), 3, "0"),
+            F.lit(" from 10.1.2."), (F.col("doc_id") % 250).cast("string"),
+        ).alias("text"),
+    )
+    n_e, n_p, n_i = text.pii_counts(F.col("text"))
+    return planted.select(
+        F.col("doc_id").cast("long"),
+        n_e.cast("long").alias("n_emails"),
+        n_p.cast("long").alias("n_phones"),
+        n_i.cast("long").alias("n_ips"),
+        F.md5(text.redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
 # ----------------------------------------------- sequence packing / sampling
 
 def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1524,6 +1572,12 @@ SELF_VERIFYING = {
 # and checked cousins exercising the same machinery (q1/q3/q5 joins +
 # aggs, rollup grouping sets, asof/outer joins).
 ROTATED_OUT = [
+    # parked r5c to admit the NEW decontamination + pii_redaction rows
+    # into the checked window; both have r02+r03+r04 hash history and
+    # checked cousins (ann_ivf_topk / ann_lsh_topk exercise the same
+    # similarity machinery; dup_clusters exercises embedding pairs)
+    "ann_topk",
+    "embedding_near_dups",
     "t3_onehot",
     "t4_channel",
     "t6_mode",
@@ -1599,11 +1653,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dups": q_simhash_near_dups,
-        "ann_topk": q_ann_topk,
+        "decontamination": q_decontamination,  # NEW r5: bench-overlap
         "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dups": q_embedding_near_dups,
+        "pii_redaction": q_pii_redaction,  # NEW r5: PII scrub
         "windowed_event_counts": q_windowed_event_counts,
         # ---- past the driver's ~50-row cap (see ROTATED_OUT) ----
+        "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "t3_onehot": q_t3_onehot,
         "t4_channel": q_t4_channel,
         "t6_mode": q_t6_mode,
@@ -2277,6 +2333,48 @@ WITH all_vecs AS (
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
 FROM all_vecs a JOIN all_vecs b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+""",
+        "decontamination": f"""
+WITH corpus AS (
+  SELECT doc_id AS id, {_NORM.format(t='text')} AS norm
+  FROM documents WHERE doc_id < 300
+), bench AS (
+  SELECT {_NORM.format(t='text')} AS norm
+  FROM documents WHERE doc_id < 300 AND doc_id % 7 = 0
+), bg AS (
+  SELECT DISTINCT unnest({_sql_shingles(5)}) AS shingle FROM bench
+), ex AS (
+  SELECT id, unnest({_sql_shingles(5)}) AS shingle FROM corpus
+), tagged AS (
+  SELECT ex.id, CASE WHEN bg.shingle IS NOT NULL THEN 1 END AS hit
+  FROM ex LEFT JOIN bg ON ex.shingle = bg.shingle
+)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits,
+       CAST((1000 * coalesce(sum(hit), 0)) // count(*) AS BIGINT)
+         AS overlap_permille
+FROM tagged GROUP BY id
+HAVING coalesce(sum(hit), 0) >= 1
+""",
+        "pii_redaction": f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-010-2'
+              || lpad(CAST(doc_id AS VARCHAR), 3, '0')
+              || ' from 10.1.2.' || CAST(doc_id % 250 AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 400
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{text.PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{text.PII_IPV4}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{text.PII_PHONE}', '<PHONE>', 'g'),
+           '{text.PII_IPV4}', '<IP>', 'g')) AS redacted_md5
+FROM planted
 """,
         "windowed_event_counts": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -158,3 +158,41 @@ def with_winnow_fingerprints(
     staged = df.withColumn("_gram_hashes", gram_hashes(F.col(text_col), k))
     kernel = winnow_from_hashes(w)
     return staged.withColumn(out_col, kernel(F.col("_gram_hashes"))).drop("_gram_hashes")
+
+
+# ------------------------------------------------------- PII redaction
+
+# The standard pre-training scrub (C4 / CCNet / FineWeb all ship one):
+# replace emails, phone numbers, and IPv4 addresses with typed
+# placeholder tokens and report per-document counts. Pure Column
+# expressions (regexp_extract_all + regexp_replace, whole-stage
+# codegen, zero Python); patterns restricted to syntax Java regex and
+# RE2/DuckDB evaluate identically (character classes, bounded repeats,
+# \b word boundaries, no backrefs, no lookarounds).
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) — counts BEFORE redaction.
+
+    Order-independent: the three patterns cannot all bite the same
+    span (phone needs dashes, IPv4 is dots-and-digits only, email
+    needs '@')."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), F.lit(0))),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email/phone/IPv4 with a typed placeholder.
+
+    Email runs FIRST so the IPv4 pattern cannot bite digit runs
+    inside an email's domain part after partial rewrites."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")
