@@ -450,10 +450,30 @@ def run_scaling_deep(
     detail: dict[int, list[float]] = {}
     secs: dict[int, list[float]] = {}
 
+    def _equalize_io_state() -> None:
+        """Start every leg from the same IO state: flush dirty pages
+        (so no leg pays the PREVIOUS leg's write-back debt — each 64M
+        leg writes ~10 GB of rewrite output) and drop the page cache
+        (so no leg benefits from the previous leg's warm reads).
+        Without this, leg times drift monotonically across a run and
+        the median estimator measures cache history, not the operator
+        (measured: r5b merge 4-core legs 312/440/581 s). Opt out with
+        SPARK_GRAFT_DEEP_DROPCACHE=0."""
+        if os.environ.get("SPARK_GRAFT_DEEP_DROPCACHE", "1") != "1":
+            return
+        os.sync()
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3\n")
+        except OSError:
+            pass  # not privileged: sync alone still pays the debt
+        time.sleep(3)
+
     def run_leg(cpus: int) -> dict | None:
         copy = os.path.join(base, f"copy{cpus}")
         subprocess.run(["cp", "-al", tbl_dir, copy], check=True)
         local = tempfile.mkdtemp(prefix=f"fepoc_deep_local_{cpus}_")
+        _equalize_io_state()
         try:
             out = subprocess.run(
                 [sys.executable, "-c", leg_src % {
