@@ -451,22 +451,33 @@ def run_scaling_deep(
     secs: dict[int, list[float]] = {}
 
     def _equalize_io_state() -> None:
-        """Start every leg from the same IO state: flush dirty pages
-        (so no leg pays the PREVIOUS leg's write-back debt — each 64M
-        leg writes ~10 GB of rewrite output) and drop the page cache
-        (so no leg benefits from the previous leg's warm reads).
-        Without this, leg times drift monotonically across a run and
-        the median estimator measures cache history, not the operator
-        (measured: r5b merge 4-core legs 312/440/581 s). Opt out with
-        SPARK_GRAFT_DEEP_DROPCACHE=0."""
-        if os.environ.get("SPARK_GRAFT_DEEP_DROPCACHE", "1") != "1":
+        """Start every leg from the same IO state: flush dirty pages so
+        no leg pays the PREVIOUS leg's write-back debt — each 64M leg
+        writes ~10 GB of rewrite output, and without the flush leg
+        times drift monotonically across a run (measured: r5b merge
+        4-core legs 312/440/581 s) and the median estimator measures
+        cache history, not the operator.
+
+        sync ONLY by default — deliberately NOT drop_caches: dropping
+        the cache forces every leg to re-read the ~20 GB input from
+        the ONE shared root disk, a resource that doesn't scale in
+        local mode but does on a real cluster (per-executor disks), so
+        the cold regime measures the sandbox's disk, not the operator
+        (measured: a dropped-cache 1-core merge leg ran 2497 s vs
+        1064 s warm — rewrite phase 1538 s vs 492 s — and the 4-core
+        leg blew past 21 min vs 5.2 warm). Levels:
+        SPARK_GRAFT_DEEP_DROPCACHE=0 none / 1 sync (default) /
+        2 sync+drop (cold-disk regime, for methodology experiments)."""
+        level = os.environ.get("SPARK_GRAFT_DEEP_DROPCACHE", "1")
+        if level == "0":
             return
         os.sync()
-        try:
-            with open("/proc/sys/vm/drop_caches", "w") as f:
-                f.write("3\n")
-        except OSError:
-            pass  # not privileged: sync alone still pays the debt
+        if level == "2":
+            try:
+                with open("/proc/sys/vm/drop_caches", "w") as f:
+                    f.write("3\n")
+            except OSError:
+                pass  # not privileged
         time.sleep(3)
 
     def run_leg(cpus: int) -> dict | None:
