@@ -465,10 +465,14 @@ def run_scaling_deep(
         the cold regime measures the sandbox's disk, not the operator
         (measured: a dropped-cache 1-core merge leg ran 2497 s vs
         1064 s warm — rewrite phase 1538 s vs 492 s — and the 4-core
-        leg blew past 21 min vs 5.2 warm). Levels:
-        SPARK_GRAFT_DEEP_DROPCACHE=0 none / 1 sync (default) /
-        2 sync+drop (cold-disk regime, for methodology experiments)."""
-        level = os.environ.get("SPARK_GRAFT_DEEP_DROPCACHE", "1")
+        leg blew past 21 min vs 5.2 warm). Sync-only was ALSO measured
+        and rejected as the default (r5d, BENCH/BASELINE.md): flushing
+        the previous leg's 10-20 GB output makes reclaim evict input
+        pages, so the memory-bound 4-core legs pick up disk reads —
+        the warm-regime best-of-k is this box's defensible estimator.
+        Levels: SPARK_GRAFT_DEEP_DROPCACHE=0 none (default) / 1 sync /
+        2 sync+drop (both kept for methodology experiments)."""
+        level = os.environ.get("SPARK_GRAFT_DEEP_DROPCACHE", "0")
         if level == "0":
             return
         os.sync()
