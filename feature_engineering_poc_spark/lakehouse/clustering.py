@@ -41,9 +41,51 @@ from ..plans.sfc import (
 )
 from .lineage import LineageLog
 from .metadata import TOKEN_SCHEMA, TokenTable, list_parquet_files
-from .stats import file_stats_df
+from .stats import file_stats_rows
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _mm3_hash_int(value: int, seed: int = 42) -> int:
+    """Murmur3_x86_32.hashInt — Spark's hash of an IntegerType column.
+
+    ``repartition(n, col)`` places a row in partition
+    ``pmod(murmur3(col), n)``; reproducing the hash on the driver lets
+    us pick column VALUES that land in chosen partitions (see
+    ``_partition_remap``). Verified against ``F.hash`` in
+    tests/test_clustering.py.
+    """
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    k1 = ((value & 0xFFFFFFFF) * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = (rotl(k1, 15) * 0x1B873593) & 0xFFFFFFFF
+    h1 = (seed ^ k1) & 0xFFFFFFFF
+    h1 = (rotl(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4  # total bytes hashed
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _partition_remap(n: int) -> list[int]:
+    """For each target partition i < n, an int value x with
+    pmod(murmur3(x), n) == i — so ``repartition(n, remap[bucket])``
+    places bucket i exactly in partition i (monotone placement, which a
+    plain hash of the bucket id would scramble)."""
+    remap: list[int | None] = [None] * n
+    found, x = 0, 0
+    while found < n:
+        i = _mm3_hash_int(x) % n
+        if remap[i] is None:
+            remap[i] = x
+            found += 1
+        x += 1
+    return remap  # type: ignore[return-value]
 
 
 @dataclass
@@ -162,15 +204,54 @@ def cluster(
         df = spark.read.schema(TOKEN_SCHEMA).parquet(*files)
         keyed = df.withColumn("zkey", key_udf(*[F.col(s.name) for s in specs]))
         out_dir = table.new_data_dir(job_tag) / part
+
+        # Range placement WITHOUT repartitionByRange: its boundary
+        # sampling job re-executes the child plan — a second full pass
+        # over the tokens payload plus a second UDF evaluation per unit
+        # (the same hidden pass the r5 merge rewrite removed). Instead:
+        # (1) one NARROW pass (cluster columns only — the payload never
+        # leaves the parquet footprint) computes zkey quantile
+        # boundaries; (2) the single full pass assigns each row its
+        # bucket and an int remap value whose murmur3 lands bucket i in
+        # partition i exactly, so one hash exchange + in-partition sort
+        # reproduces the range layout (disjoint per-file zkey envelopes,
+        # same pruning power). Falls back to repartitionByRange when the
+        # key exceeds double precision (boundary literals would be
+        # lossy) — impossible for the default 2 cols × 16 bits.
+        if n_out == 1:
+            # single-bin unit (≈ one target file of data): round-robin
+            # into one reduce task — coalesce(1) would also collapse the
+            # scan+UDF map side onto one core
+            placed = keyed.repartition(1)
+        elif bits * len(specs) <= 52:
+            narrow = (
+                spark.read.schema(TOKEN_SCHEMA)
+                .parquet(*files)
+                .select(*[s.name for s in specs])
+                .withColumn("zkey", key_udf(*[F.col(s.name) for s in specs]))
+            )
+            probs = [i / n_out for i in range(1, n_out)]
+            bnds = sorted(int(b) for b in narrow.approxQuantile("zkey", probs, 0.001))
+            bucket = F.size(
+                F.filter(
+                    F.array(*[F.lit(b) for b in bnds]),
+                    lambda b: F.col("zkey") > b,
+                )
+            )
+            remap = F.array(*[F.lit(x) for x in _partition_remap(n_out)])
+            placed = keyed.withColumn(
+                "_pid", F.element_at(remap, bucket + F.lit(1))
+            ).repartition(n_out, "_pid").drop("_pid")
+        else:
+            placed = keyed.repartitionByRange(n_out, "zkey")
         (
-            keyed.repartitionByRange(n_out, "zkey")
-            .sortWithinPartitions("zkey")
+            placed.sortWithinPartitions("zkey")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", max(1, (total_rows + n_out - 1) // n_out + 1))
             .parquet(str(out_dir))
         )
         new_files = list_parquet_files(out_dir)
-        stats = [r.asDict() for r in file_stats_df(spark, [(f, part) for f in new_files]).collect()]
+        stats = file_stats_rows(spark, [(f, part) for f in new_files])
         log.mark_unit_done(
             part,
             files_in=files,

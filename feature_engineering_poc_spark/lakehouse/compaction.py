@@ -36,7 +36,7 @@ from pyspark.sql import SparkSession
 from ..plans.binpack import pack_bins
 from .lineage import LineageLog
 from .metadata import MANIFEST_SCHEMA, TOKEN_SCHEMA, TokenTable, list_parquet_files
-from .stats import file_stats_df
+from .stats import file_stats_rows
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -209,10 +209,7 @@ def compact(
                 .parquet(str(out_dir))
             )
             new_files = list_parquet_files(out_dir)
-            stats = [
-                r.asDict()
-                for r in file_stats_df(spark, [(f, part) for f in new_files]).collect()
-            ]
+            stats = file_stats_rows(spark, [(f, part) for f in new_files])
             new_count = len(new_files)
         log.mark_unit_done(
             part,

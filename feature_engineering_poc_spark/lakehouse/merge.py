@@ -79,7 +79,14 @@ from pyspark.sql import functions as F
 from .lineage import LineageLog
 from .metadata import TOKEN_SCHEMA, TokenTable, list_parquet_files
 from .skew import salted_latest_by_key
-from .stats import file_stats_df
+from .stats import file_stats_rows
+
+# Target bytes per insert-path output task; sizes the insert write's
+# fan-out from the source volume estimate (overridable for tests /
+# unusual deployments).
+INSERT_TARGET_BYTES = int(
+    os.environ.get("FEPOC_MERGE_INSERT_TARGET", str(128 * 1024 * 1024))
+)
 
 
 class DuplicateSourceKeys(ValueError):
@@ -106,9 +113,17 @@ class _Phase:
 
 
 def _parse_size(s: str) -> int:
-    """'48g' / '512m' / '1024k' / bytes → bytes (Spark size-string subset)."""
+    """'48g'/'2gb'/'512m'/'1024k'/bytes → bytes (Spark size-string set).
+
+    Two-letter suffixes must match before single-letter ones: '2gb'
+    previously fell into the trailing-'b' branch and raised on
+    float('2g'), silently dropping the maxResultSize clamp in
+    ``_broadcast_cap``."""
     s = s.strip().lower()
-    for suffix, mult in (("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+    for suffix, mult in (
+        ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
         if s.endswith(suffix):
             return int(float(s[: -len(suffix)]) * mult)
     return int(s)
@@ -139,7 +154,10 @@ def _broadcast_cap(spark: SparkSession) -> int:
         if mrs > 0:  # 0 = unlimited
             cap = min(cap, int(mrs * 0.8))
     except Exception:
-        pass
+        logger.warning(
+            "could not parse spark.driver.maxResultSize; broadcast cap "
+            "not clamped to the driver collection limit", exc_info=True
+        )
     return cap
 
 
@@ -165,6 +183,81 @@ def _prepare_source(
     if duplicate_policy != "error":
         raise ValueError(f"unknown duplicate_policy: {duplicate_policy}")
     return source_df
+
+
+def _rewrite_all_broadcast(spark, src, pending, out_root, log) -> None:
+    """Small-source rewrite: ALL pending units in ONE Spark job.
+
+    The whole prepared source (< one broadcast cap by the caller's
+    estimate) is broadcast once; every touched file across every
+    partition unit streams through the same left join, deletes drop,
+    and ``partitionBy`` routes each surviving row back to its partition
+    dir (`source` is immutable under update, so the row's own column IS
+    its partition). One footer-stats pass covers all outputs; lineage
+    then records the same per-partition units the per-unit path would,
+    so resume/commit assembly are shape-identical.
+    """
+    files_all = [f for _, fs in pending for f in fs]
+    target_all = spark.read.schema(TOKEN_SCHEMA).parquet(*files_all)
+    src_side = F.broadcast(
+        src.select(
+            F.col("doc_id").alias("s_doc_id"),
+            F.when(F.col("_op") == "upsert", F.col("tokens")).alias("s_tokens"),
+            F.when(F.col("_op") == "upsert", F.col("n_tok")).alias("s_n_tok"),
+            F.col("_op").alias("s_op"),
+        )
+    )
+    joined = target_all.alias("t").join(
+        src_side, F.col("t.doc_id") == F.col("s_doc_id"), "left"
+    )
+    rewritten = (
+        joined.filter((F.col("s_op").isNull()) | (F.col("s_op") != "delete"))
+        .select(
+            F.col("t.doc_id").alias("doc_id"),
+            F.coalesce(
+                F.when(F.col("s_op") == "upsert", F.col("s_tokens")), F.col("t.tokens")
+            ).alias("tokens"),
+            F.coalesce(
+                F.when(F.col("s_op") == "upsert", F.col("s_n_tok")), F.col("t.n_tok")
+            ).alias("n_tok"),
+            F.col("t.source").alias("source"),
+        )
+    )
+    out_dir = out_root / "_rewrite"
+    # coalesce propagates upstream: collapsing to files/2 tasks would
+    # also run the scan+join+encode on that few cores. Halve the file
+    # count only once it exceeds the core count; below that, one task
+    # per input file keeps the single job fully parallel.
+    n_out = max(
+        min(len(files_all), spark.sparkContext.defaultParallelism),
+        len(files_all) // 2,
+    )
+    with _Phase("rewrite_write"):
+        (
+            rewritten.withColumn("_part", F.col("source"))
+            .coalesce(n_out)
+            .sortWithinPartitions("_part", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("_part")
+            .parquet(str(out_dir))
+        )
+    pairs = []
+    for d in sorted(out_dir.glob("_part=*")):
+        part_val = unquote(d.name.split("=", 1)[1])
+        pairs.extend((f, part_val) for f in list_parquet_files(d))
+    with _Phase("rewrite_stats"):
+        stats_all = file_stats_rows(spark, pairs)
+    by_unit: dict[str, list[dict]] = defaultdict(list)
+    for s in stats_all:
+        by_unit[s["partition"]].append(s)
+    for part, files_p in pending:
+        new_rows = by_unit.get(part, [])  # empty = every row deleted
+        log.mark_unit_done(
+            f"rewrite:{part}",
+            files_in=files_p,
+            new_manifest_rows=new_rows,
+            metrics={"files_rewritten": len(files_p), "files_written": len(new_rows)},
+        )
 
 
 def merge_into(
@@ -251,6 +344,9 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
         F.min("doc_id").alias("lo"),
         F.max("doc_id").alias("hi"),
         F.count("*").alias("n"),
+        # token volume → whole-source broadcast-size estimate (decides
+        # the small-source fast path; same formula as unit_bytes below)
+        F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).alias("tok"),
     ]
     if duplicate_policy == "error":
         aggs.append(F.countDistinct("doc_id").alias("nd"))
@@ -287,33 +383,56 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
     # Source keys are UNIQUE here (dup policy above), so the probe join
     # is a plain equi-join; AQE skew-join covers residual
     # partition-level skew.
+    # Small-source FAST PATH: when the ENTIRE prepared source fits one
+    # broadcast cap, per-unit machinery is pure overhead — unit tagging
+    # (probe ⋈ file_units), the grouped eff_src materialization + agg,
+    # and one broadcast build + write job + stats pass PER partition
+    # unit are fixed driver-side jobs that amortize at 10^8-row merges
+    # but dominate a small one (and the streaming foreachBatch sink
+    # issues exactly such merges every microbatch). The fast path
+    # broadcasts the whole effective source once and rewrites ALL
+    # touched files in ONE job (partitionBy routes each row back to its
+    # partition dir). Large sources keep the per-unit key-assigned
+    # broadcast path — per-unit volume stays bounded at any scale.
+    est_src_bytes = int((prof.tok or 0) * 4 + prof.n * 64)
+    broadcast_cap = _broadcast_cap(spark)
+    fast = (
+        est_src_bytes < broadcast_cap
+        and _fail_after_units is None  # crash hook needs per-unit jobs
+        # dynamic-partition routing can't represent a null partition
+        and all(p != "__HIVE_DEFAULT_PARTITION__" for p in cand_by_part)
+    )
+
     if cand_files:
-        # file → partition-unit lookup from the manifest rows already in
-        # hand (driver-planning-sized, like Iceberg's file lists); the
-        # broadcast join tags every matched key with the rewrite unit
-        # whose file holds it, which is what lets each rewrite unit
-        # later join ONLY its own slice of the effective source.
-        file_units = F.broadcast(
-            spark.createDataFrame(
-                [(_norm(r["file_path"]), r["partition"]) for r in cand_rows],
-                "file_path string, _unit string",
-            )
-        )
         probe = (
             spark.read.schema(TOKEN_SCHEMA)
             .parquet(*cand_files)
-            .select(
-                "doc_id",
-                F.regexp_replace(
-                    F.input_file_name(), "^file:(//)?", ""
-                ).alias("file_path"),
+            .select("doc_id", _probe_file_path().alias("file_path"))
+        )
+        src_keys = src.select("doc_id", "_op")
+        if fast:
+            # the whole key set fits a broadcast → probe joins map-side
+            # (no file_units tagging: the single rewrite job needs no
+            # per-unit source assignment)
+            matched = probe.join(F.broadcast(src_keys), "doc_id").persist()
+        else:
+            # file → partition-unit lookup from the manifest rows
+            # already in hand (driver-planning-sized, like Iceberg's
+            # file lists); the broadcast join tags every matched key
+            # with the rewrite unit whose file holds it, which is what
+            # lets each rewrite unit later join ONLY its own slice of
+            # the effective source.
+            file_units = F.broadcast(
+                spark.createDataFrame(
+                    [(_norm(r["file_path"]), r["partition"]) for r in cand_rows],
+                    "file_path string, _unit string",
+                )
             )
-        )
-        matched = (
-            probe.join(file_units, "file_path")
-            .join(src.select("doc_id", "_op"), "doc_id")
-            .persist()
-        )
+            matched = (
+                probe.join(file_units, "file_path")
+                .join(src_keys, "doc_id")
+                .persist()
+            )
     else:
         matched = spark.createDataFrame(
             [], "file_path string, doc_id string, _unit string, _op string"
@@ -344,41 +463,6 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
     else:
         touched_files = {f for r in probe_rows for f in r.files}
 
-    # EFFECTIVE rewrite source: only rows whose key matched a target row
-    # (inserts never join the rewrite), each tagged with the rewrite
-    # unit that holds it, and delete rows shed their payload (only the
-    # op matters). One join shuffle HERE replaces a full-source shuffle
-    # join in EVERY rewrite unit, and because each unit later filters to
-    # its OWN `_unit` slice, the per-unit broadcast volume is bounded by
-    # that unit's matched rows at ANY source scale — this is the fix for
-    # the 64M-row broadcast→shuffle plan flip (BENCH/BASELINE.md merge
-    # deep-run analysis). The distinct() guards against a key probed in
-    # more than one unit (a malformed table with duplicate doc_ids must
-    # not fan out target rows through the inner join).
-    eff_src = (
-        src.join(matched.select("doc_id", "_unit").distinct(), "doc_id")
-        .select(
-            "doc_id",
-            F.when(F.col("_op") == "upsert", F.col("tokens")).alias("tokens"),
-            F.when(F.col("_op") == "upsert", F.col("n_tok")).alias("n_tok"),
-            "_op",
-            "_unit",
-        )
-        .persist()
-    )
-    # exact PER-UNIT size estimates from the materialized rewrite side,
-    # not a guess — same single blocking agg as before, now grouped.
-    with _Phase("eff_src_agg"):
-        eff_rows = (
-            eff_src.groupBy("_unit")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.coalesce("n_tok", F.lit(0))).alias("tok"),
-            )
-            .collect()
-        )
-    unit_bytes = {r._unit: int((r.tok or 0) * 4 + r.n * 64) for r in eff_rows}
-    broadcast_cap = _broadcast_cap(spark)
     metrics = {
         "rows_updated": int(op_counts.get("upsert", 0)),
         "rows_deleted": int(op_counts.get("delete", 0)),
@@ -387,79 +471,150 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
     out_root = table.new_data_dir(job_tag)
     touched_norm = {_norm(t) for t in touched_files}
 
-    def run_rewrite_unit(part: str, files_p: list[str]) -> None:
-        target_p = spark.read.schema(TOKEN_SCHEMA).parquet(*files_p)
-        # this unit's OWN slice of the effective source — a cache-local
-        # filter on the persisted eff_src, never the whole thing
-        src_side = eff_src.filter(F.col("_unit") == part).select(
-            F.col("doc_id").alias("s_doc_id"),
-            F.col("tokens").alias("s_tokens"),
-            F.col("n_tok").alias("s_n_tok"),
-            F.col("_op").alias("s_op"),
-        )
-        if unit_bytes.get(part, 0) < broadcast_cap:
-            src_side = F.broadcast(src_side)
-        joined = target_p.alias("t").join(
-            src_side, F.col("t.doc_id") == F.col("s_doc_id"), "left"
-        )
-        rewritten = (
-            joined.filter((F.col("s_op").isNull()) | (F.col("s_op") != "delete"))
-            .select(
-                F.col("t.doc_id").alias("doc_id"),
-                F.coalesce(
-                    F.when(F.col("s_op") == "upsert", F.col("s_tokens")), F.col("t.tokens")
-                ).alias("tokens"),
-                F.coalesce(
-                    F.when(F.col("s_op") == "upsert", F.col("s_n_tok")), F.col("t.n_tok")
-                ).alias("n_tok"),
-                F.col("t.source").alias("source"),
-            )
-        )
-        out_dir = out_root / part
-        n_out = max(1, len(files_p) // 2)  # merged output ≈ input volume
-        # ONE pass, ZERO shuffle: the broadcast join streams each scan
-        # split straight through coalesce into a small in-task sort and
-        # the parquet encoder. The previous shape (persist → range
-        # sampling job → range shuffle → write) materialized the full
-        # joined unit into the block cache and then moved it again
-        # through a shuffle — three extra full-data trips over the
-        # memory bus that showed up as the residual Amdahl serial term
-        # in the 64M deep run (BENCH/BASELINE.md r5 analysis). Range
-        # layout bought nothing here: the table's files are round-robin
-        # distributed, so pre- and post-merge envelopes span the full
-        # key range either way; re-clustering is clustering.py's job.
-        (
-            rewritten.coalesce(n_out)
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(str(out_dir))
-        )
-        new_files = list_parquet_files(out_dir)
-        stats = [r.asDict() for r in file_stats_df(spark, [(f, part) for f in new_files]).collect()]
-        log.mark_unit_done(
-            f"rewrite:{part}",
-            files_in=files_p,
-            new_manifest_rows=stats,
-            metrics={"files_rewritten": len(files_p), "files_written": len(new_files)},
-        )
-
-    # 3. REWRITE touched files — one resumable unit per partition, run
-    # concurrently (Spark interleaves the jobs; lineage appends are
-    # thread-safe). Sequential under the crash-injection test hook.
+    # 3. REWRITE touched files — resumable per-partition units.
     pending = []
     for part in sorted(cand_by_part):
         files_p = [f for f in cand_by_part[part] if _norm(f) in touched_norm]
         if files_p and f"rewrite:{part}" not in done:
             pending.append((part, files_p))
-    if _fail_after_units is not None:
-        for i, (part, files_p) in enumerate(pending, 1):
-            run_rewrite_unit(part, files_p)
-            if i >= _fail_after_units:
-                raise RuntimeError(f"injected failure after {i} units (test hook)")
-    elif pending:
-        with _Phase("rewrite_units"), ThreadPoolExecutor(max_workers=min(8, len(pending))) as ex:
-            for f in [ex.submit(run_rewrite_unit, p, fs) for p, fs in pending]:
-                f.result()
+
+    eff_src = None
+    if fast:
+        # FAST: one broadcast of the whole prepared source (insert keys
+        # ride along — they match no target row in the left join), ONE
+        # job over every pending unit's files, partitionBy routing back
+        # to per-partition dirs, one footer-stats pass. Lineage still
+        # records one unit per partition (commit assembly unchanged); a
+        # crash redoes the single job.
+        units_broadcast = len(pending)
+        if pending:
+            with _Phase("rewrite_units"):
+                _rewrite_all_broadcast(spark, src, pending, out_root, log)
+    else:
+        # EFFECTIVE rewrite source: only rows whose key matched a target
+        # row (inserts never join the rewrite), each tagged with the
+        # rewrite unit that holds it, and delete rows shed their payload
+        # (only the op matters). One join shuffle HERE replaces a
+        # full-source shuffle join in EVERY rewrite unit, and because
+        # each unit later filters to its OWN `_unit` slice, the per-unit
+        # broadcast volume is bounded by that unit's matched rows at ANY
+        # source scale — this is the fix for the 64M-row
+        # broadcast→shuffle plan flip (BENCH/BASELINE.md merge deep-run
+        # analysis). The distinct() guards against a key probed in more
+        # than one unit (a malformed table with duplicate doc_ids must
+        # not fan out target rows through the inner join).
+        eff_src = (
+            src.join(matched.select("doc_id", "_unit").distinct(), "doc_id")
+            .select(
+                "doc_id",
+                F.when(F.col("_op") == "upsert", F.col("tokens")).alias("tokens"),
+                F.when(F.col("_op") == "upsert", F.col("n_tok")).alias("n_tok"),
+                "_op",
+                "_unit",
+            )
+            .persist()
+        )
+        # exact PER-UNIT size estimates from the materialized rewrite
+        # side, not a guess — same single blocking agg as before, grouped.
+        with _Phase("eff_src_agg"):
+            eff_rows = (
+                eff_src.groupBy("_unit")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.coalesce("n_tok", F.lit(0))).alias("tok"),
+                )
+                .collect()
+            )
+        unit_bytes = {r._unit: int((r.tok or 0) * 4 + r.n * 64) for r in eff_rows}
+        file_rows = {r["file_path"]: r["record_count"] for r in cand_rows}
+        units_broadcast = sum(
+            1 for p, _ in pending if unit_bytes.get(p, 0) < broadcast_cap
+        )
+
+        def run_rewrite_unit(part: str, files_p: list[str]) -> None:
+            target_p = spark.read.schema(TOKEN_SCHEMA).parquet(*files_p)
+            # this unit's OWN slice of the effective source — a
+            # cache-local filter on the persisted eff_src, never the
+            # whole thing
+            src_side = eff_src.filter(F.col("_unit") == part).select(
+                F.col("doc_id").alias("s_doc_id"),
+                F.col("tokens").alias("s_tokens"),
+                F.col("n_tok").alias("s_n_tok"),
+                F.col("_op").alias("s_op"),
+            )
+            is_bcast = unit_bytes.get(part, 0) < broadcast_cap
+            if is_bcast:
+                src_side = F.broadcast(src_side)
+            joined = target_p.alias("t").join(
+                src_side, F.col("t.doc_id") == F.col("s_doc_id"), "left"
+            )
+            rewritten = (
+                joined.filter((F.col("s_op").isNull()) | (F.col("s_op") != "delete"))
+                .select(
+                    F.col("t.doc_id").alias("doc_id"),
+                    F.coalesce(
+                        F.when(F.col("s_op") == "upsert", F.col("s_tokens")), F.col("t.tokens")
+                    ).alias("tokens"),
+                    F.coalesce(
+                        F.when(F.col("s_op") == "upsert", F.col("s_n_tok")), F.col("t.n_tok")
+                    ).alias("n_tok"),
+                    F.col("t.source").alias("source"),
+                )
+            )
+            out_dir = out_root / part
+            n_out = max(1, len(files_p) // 2)  # merged output ≈ input volume
+            if is_bcast:
+                # ONE pass, ZERO shuffle: the broadcast join streams each
+                # scan split straight through coalesce into a small
+                # in-task sort and the parquet encoder. The previous shape
+                # (persist → range sampling job → range shuffle → write)
+                # materialized the full joined unit into the block cache
+                # and then moved it again through a shuffle — three extra
+                # full-data trips over the memory bus that showed up as
+                # the residual Amdahl serial term in the 64M deep run
+                # (BENCH/BASELINE.md r5 analysis). Range layout bought
+                # nothing here: the table's files are round-robin
+                # distributed, so pre- and post-merge envelopes span the
+                # full key range either way; re-clustering is
+                # clustering.py's job.
+                writer = rewritten.coalesce(n_out).sortWithinPartitions("doc_id").write
+            else:
+                # shuffle fallback (unit slice over the broadcast cap):
+                # keep the sort-merge join's AQE-sized partitions —
+                # coalescing to n_out tasks here would concentrate the
+                # very units that were too big to broadcast onto the
+                # fewest tasks (spill risk, defeats AQE skew splitting).
+                # File sizes are bounded via maxRecordsPerFile from the
+                # manifest row counts instead.
+                rows_unit = sum(file_rows.get(f, 0) for f in files_p)
+                writer = (
+                    rewritten.sortWithinPartitions("doc_id")
+                    .write.option(
+                        "maxRecordsPerFile",
+                        max(1, (rows_unit + n_out - 1) // max(1, n_out) + 1),
+                    )
+                )
+            writer.mode("overwrite").parquet(str(out_dir))
+            new_files = list_parquet_files(out_dir)
+            stats = file_stats_rows(spark, [(f, part) for f in new_files])
+            log.mark_unit_done(
+                f"rewrite:{part}",
+                files_in=files_p,
+                new_manifest_rows=stats,
+                metrics={"files_rewritten": len(files_p), "files_written": len(new_files)},
+            )
+
+        # run units concurrently (Spark interleaves the jobs; lineage
+        # appends are thread-safe). Sequential under the crash hook.
+        if _fail_after_units is not None:
+            for i, (part, files_p) in enumerate(pending, 1):
+                run_rewrite_unit(part, files_p)
+                if i >= _fail_after_units:
+                    raise RuntimeError(f"injected failure after {i} units (test hook)")
+        elif pending:
+            with _Phase("rewrite_units"), ThreadPoolExecutor(max_workers=min(8, len(pending))) as ex:
+                for f in [ex.submit(run_rewrite_unit, p, fs) for p, fs in pending]:
+                    f.result()
 
     # 4. INSERT unit — not-matched upserts, ONE partitionBy write (the
     # per-source routing happens inside the job, not in a driver loop).
@@ -471,13 +626,26 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
     # sampling pass would re-execute it).
     if "insert" not in done:
         _t_ins = time.time()
+        anti_keys = matched.select("doc_id")
+        if fast:
+            # matched keys fit the broadcast cap by the fast-path
+            # condition → the anti-join needs no shuffle either
+            anti_keys = F.broadcast(anti_keys)
         inserts = (
             src.filter(F.col("_op") == "upsert")
-            .join(matched.select("doc_id"), "doc_id", "left_anti")
+            .join(anti_keys, "doc_id", "left_anti")
             .select("doc_id", "tokens", "n_tok", "source")
         )
         ins_dir = out_root / "_inserts"
-        n_out = max(1, spark.sparkContext.defaultParallelism // 2)
+        # output-task count derived from the SOURCE volume estimate (an
+        # upper bound on insert volume), not a constant tied to the
+        # local core count: a microbatch-sized merge writes one file
+        # per partition instead of defaultParallelism/2 shards, while a
+        # 10^8-row merge fans out to one task per ~target-file-size.
+        n_out = max(1, min(
+            4 * spark.sparkContext.defaultParallelism,
+            (est_src_bytes + INSERT_TARGET_BYTES - 1) // INSERT_TARGET_BYTES,
+        ))
         # hash repartition, not repartitionByRange: range sampling is a
         # second action over the anti-join (forcing a persist of the
         # full insert payload to keep it single-execution); a hash
@@ -502,14 +670,15 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
                     "(partition column); inserts must carry a partition value"
                 )
             pairs.extend((f, part_val) for f in list_parquet_files(d))
-        stats = [r.asDict() for r in file_stats_df(spark, pairs).collect()]
+        stats = file_stats_rows(spark, pairs)
         n_ins = sum(s["record_count"] for s in stats)
         log.mark_unit_done("insert", files_in=[], new_manifest_rows=stats,
                            metrics={"rows_inserted": n_ins})
         if _TIMING:
             print(f"MERGE_PHASE insert {time.time() - _t_ins:.2f}s", flush=True)
     matched.unpersist()
-    eff_src.unpersist()
+    if eff_src is not None:
+        eff_src.unpersist()
 
     # 5. COMMIT — assemble from lineage (covers resumed units).
     done = log.completed_units()
@@ -521,9 +690,7 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
     summary = {**metrics, "files_rewritten": len(removed), "files_written": len(new_rows),
                "candidate_files": len(cand_files), "touched_files": len(touched_files),
                "broadcast_cap": broadcast_cap,
-               "units_broadcast": sum(
-                   1 for p, _ in pending if unit_bytes.get(p, 0) < broadcast_cap
-               ),
+               "units_broadcast": units_broadcast,
                "job_tag": job_tag}
     with _Phase("commit"):
         # manifest-delta commit: driver-side pyarrow for small manifests
@@ -538,3 +705,19 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
 
 def _norm(p: str) -> str:
     return p.removeprefix("file://").removeprefix("file:")
+
+
+def _probe_file_path() -> F.Column:
+    """``input_file_name()`` as a raw filesystem path.
+
+    The function returns a percent-encoded URI (Hadoop Path), while
+    manifest rows store raw paths; joining them as strings silently
+    matches NOTHING for a table root containing a space, '%', or
+    non-ASCII character — updates/deletes would be skipped and the same
+    keys re-inserted as duplicates. Decode the probe side so both join
+    keys share one canonical encoding. ``url_decode`` is
+    x-www-form-urlencoded (it would turn a literal '+' into a space),
+    so '+' is pre-escaped to its percent form first.
+    """
+    raw = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+    return F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))

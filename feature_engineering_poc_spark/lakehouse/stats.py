@@ -25,10 +25,17 @@ _STAT_COLS = ("doc_id", "n_tok", "zkey")
 
 
 def _footer_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        _stats_records(batch["file_path"], batch["partition"]),
+        columns=[f.name for f in MANIFEST_SCHEMA.fields],
+    )
+
+
+def _stats_records(paths, partitions) -> list[dict]:
     from . import fs as fslayer
 
     out = []
-    for path, partition in zip(batch["file_path"], batch["partition"]):
+    for path, partition in zip(paths, partitions):
         # fs layer: footer read works on local paths or URIs (fs.py)
         pf = fslayer.parquet_file(path)
         md = pf.metadata
@@ -69,10 +76,7 @@ def _footer_stats(batch: pd.DataFrame) -> pd.DataFrame:
                 "max_zkey": None if maxs.get("zkey") is None else int(maxs["zkey"]),
             }
         )
-    return pd.DataFrame(
-        out,
-        columns=[f.name for f in MANIFEST_SCHEMA.fields],
-    )
+    return out
 
 
 def file_stats_df(
@@ -96,3 +100,31 @@ def file_stats_df(
                 yield _footer_stats(b)
 
     return paths_df.mapInPandas(gen, MANIFEST_SCHEMA)
+
+
+# Below this many files a footer-stats pass is cheaper on the driver
+# (one ~KB footer read per file, sub-ms each) than as a Spark job —
+# createDataFrame + repartition + mapInPandas + collect costs a fixed
+# few hundred ms per call, which dominates maintenance ops on small
+# tables (and every streaming microbatch). Same small/large split as
+# metadata.SMALL_MANIFEST_ROWS.
+SMALL_STATS_FILES = 256
+
+
+def file_stats_rows(
+    spark: SparkSession, files: list[tuple[str, str]],
+    small_threshold: int | None = None,
+) -> list[dict]:
+    """Collected manifest-entry stats for ``(file_path, partition)`` pairs.
+
+    Small file lists (≤ ``SMALL_STATS_FILES``) are read on the driver —
+    zero Spark jobs; larger lists go through the distributed
+    ``file_stats_df`` path (at 100 TB a rewrite unit can emit far more
+    files than a driver loop should touch).
+    """
+    if not files:
+        return []
+    threshold = SMALL_STATS_FILES if small_threshold is None else small_threshold
+    if len(files) <= threshold:
+        return _stats_records([f for f, _ in files], [p for _, p in files])
+    return [r.asDict() for r in file_stats_df(spark, files).collect()]

@@ -109,3 +109,50 @@ def test_cluster_resume(spark, tmp_path):
     result = cluster(spark, t, curve="zorder", target_file_bytes=48 * 1024, job_id="clresume")
     assert result["snapshot_id"] == 2
     assert_scan_equivalent(t.scan(spark, 1), t.scan(spark))
+
+
+def test_mm3_hash_int_matches_spark(spark):
+    """_partition_remap relies on reproducing Spark's murmur3 exactly;
+    verify _mm3_hash_int against F.hash over a value sweep."""
+    from feature_engineering_poc_spark.lakehouse.clustering import _mm3_hash_int
+
+    vals = list(range(0, 200)) + [2**31 - 1, 12345678, 987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "v int").select(
+        "v", F.hash("v").alias("h")
+    )
+    got = {r.v: r.h for r in df.collect()}
+    for v in vals:
+        assert _mm3_hash_int(v) == got[v], v
+
+
+def test_partition_remap_places_buckets_exactly(spark):
+    """repartition(n, remap[bucket]) must land bucket i in partition i —
+    the property the sampling-free range placement depends on."""
+    from pyspark.sql.functions import spark_partition_id
+
+    from feature_engineering_poc_spark.lakehouse.clustering import _partition_remap
+
+    for n in (2, 5, 8):
+        remap = _partition_remap(n)
+        assert len(set(remap)) == n
+        df = spark.createDataFrame([(b, remap[b]) for b in range(n)], "bucket int, pid int")
+        placed = df.repartition(n, "pid").select("bucket", spark_partition_id().alias("p"))
+        assert {(r.bucket, r.p) for r in placed.collect()} == {(b, b) for b in range(n)}
+
+
+def test_cluster_output_files_range_disjoint(spark, tmp_path):
+    """The quantile-placed rewrite must keep what range partitioning
+    guaranteed: per-file zkey envelopes that do not interleave (this is
+    the file-pruning power the op exists for)."""
+    t = write_token_table(spark, tmp_path / "disj", n_rows=4000, files_per_source=6, max_tok=128)
+    cluster(spark, t, curve="zorder", target_file_bytes=32 * 1024)
+    m = t.manifest_df(spark).select("partition", "min_zkey", "max_zkey").collect()
+    by_part = {}
+    for r in m:
+        assert r.min_zkey is not None and r.max_zkey is not None
+        by_part.setdefault(r.partition, []).append((r.min_zkey, r.max_zkey))
+    for part, spans in by_part.items():
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            # adjacent files may share a boundary key value, never interleave
+            assert hi1 <= lo2, (part, (lo1, hi1), (lo2, hi2))

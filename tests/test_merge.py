@@ -214,3 +214,69 @@ def test_merge_per_unit_broadcast_and_shuffle_fallback(spark, table, monkeypatch
     assert list(shuffled.n_tok) == list(bcast.n_tok)
     assert all(list(a) == list(b) for a, b in zip(shuffled.tokens, bcast.tokens))
     assert len(src_pd) > 0  # sanity: the merge actually did work
+
+
+def test_merge_special_chars_in_table_root(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; the probe join
+    must still match manifest paths for roots containing spaces, '%',
+    '+', and non-ASCII — a silent mismatch would skip the rewrite AND
+    re-insert matched keys as duplicates (ADVICE r5, merge.py probe)."""
+    root = tmp_path / "odd dir %x+ü"
+    t = write_token_table(spark, root / "t", n_rows=400, files_per_source=2, max_tok=32)
+    pre = t.scan(spark).count()
+    one = t.scan(spark).orderBy("doc_id").limit(1).collect()[0]
+    src = spark.createDataFrame(
+        [(one.doc_id, [9, 9], 2, one.source)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    r = merge_into(spark, t, src)
+    # the key matched (update, not insert) and no duplicate appeared
+    assert r["rows_updated"] == 1
+    assert r["rows_inserted"] == 0
+    assert t.scan(spark).count() == pre
+    assert t.scan(spark).filter(F.col("doc_id") == one.doc_id).count() == 1
+    row = t.scan(spark).filter(F.col("doc_id") == one.doc_id).collect()[0]
+    assert list(row.tokens) == [9, 9] and row.n_tok == 2
+
+
+def test_parse_size_two_letter_suffixes():
+    from feature_engineering_poc_spark.lakehouse.merge import _parse_size
+
+    assert _parse_size("2gb") == 2 << 30
+    assert _parse_size("512mb") == 512 << 20
+    assert _parse_size("8kb") == 8 << 10
+    assert _parse_size("1g") == 1 << 30
+    assert _parse_size("64") == 64
+
+
+def test_merge_small_source_fast_path_equivalence(spark, table, monkeypatch):
+    """The single-broadcast fast path (whole source under one cap) and
+    the per-unit path must produce identical tables and summaries."""
+    src = _source(spark, table).persist()
+
+    # force the per-unit SLOW path by shrinking the cap below the source
+    monkeypatch.setenv("FEPOC_MERGE_BROADCAST_CAP", "1")
+    r_slow = merge_into(spark, table, src)
+    assert r_slow["units_broadcast"] == 0  # every unit over the 1-byte cap
+    slow_pd = table.scan(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    monkeypatch.delenv("FEPOC_MERGE_BROADCAST_CAP")
+    import shutil
+    import tempfile
+
+    d2 = tempfile.mkdtemp(prefix="fepoc_merge_fast_")
+    try:
+        t2 = write_token_table(spark, d2 + "/t", n_rows=1000, files_per_source=4, max_tok=64)
+        r_fast = merge_into(spark, t2, src)
+        # fast path: every pending unit rides the one broadcast
+        assert r_fast["units_broadcast"] >= 1
+        fast_pd = t2.scan(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+    src.unpersist()
+
+    for k in ("rows_updated", "rows_deleted", "rows_inserted", "touched_files"):
+        assert r_slow[k] == r_fast[k], k
+    assert list(slow_pd.doc_id) == list(fast_pd.doc_id)
+    assert list(slow_pd.n_tok) == list(fast_pd.n_tok)
+    assert all(list(a) == list(b) for a, b in zip(slow_pd.tokens, fast_pd.tokens))
