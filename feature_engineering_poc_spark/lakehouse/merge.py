@@ -185,6 +185,30 @@ def _prepare_source(
     return source_df
 
 
+def _apply_merge(target_df: DataFrame, src_side) -> DataFrame:
+    """LEFT-join the (aliased s_*) source side onto target rows and
+    apply MERGE semantics: deletes drop, upserts replace tokens/n_tok,
+    unmatched rows pass through. Shared by the per-unit and the
+    whole-source-broadcast rewrite paths — the join shape is identical,
+    only the source side's extent differs."""
+    joined = target_df.alias("t").join(
+        src_side, F.col("t.doc_id") == F.col("s_doc_id"), "left"
+    )
+    return (
+        joined.filter((F.col("s_op").isNull()) | (F.col("s_op") != "delete"))
+        .select(
+            F.col("t.doc_id").alias("doc_id"),
+            F.coalesce(
+                F.when(F.col("s_op") == "upsert", F.col("s_tokens")), F.col("t.tokens")
+            ).alias("tokens"),
+            F.coalesce(
+                F.when(F.col("s_op") == "upsert", F.col("s_n_tok")), F.col("t.n_tok")
+            ).alias("n_tok"),
+            F.col("t.source").alias("source"),
+        )
+    )
+
+
 def _rewrite_all_broadcast(spark, src, pending, out_root, log) -> None:
     """Small-source rewrite: ALL pending units in ONE Spark job.
 
@@ -207,22 +231,7 @@ def _rewrite_all_broadcast(spark, src, pending, out_root, log) -> None:
             F.col("_op").alias("s_op"),
         )
     )
-    joined = target_all.alias("t").join(
-        src_side, F.col("t.doc_id") == F.col("s_doc_id"), "left"
-    )
-    rewritten = (
-        joined.filter((F.col("s_op").isNull()) | (F.col("s_op") != "delete"))
-        .select(
-            F.col("t.doc_id").alias("doc_id"),
-            F.coalesce(
-                F.when(F.col("s_op") == "upsert", F.col("s_tokens")), F.col("t.tokens")
-            ).alias("tokens"),
-            F.coalesce(
-                F.when(F.col("s_op") == "upsert", F.col("s_n_tok")), F.col("t.n_tok")
-            ).alias("n_tok"),
-            F.col("t.source").alias("source"),
-        )
-    )
+    rewritten = _apply_merge(target_all, src_side)
     out_dir = out_root / "_rewrite"
     # coalesce propagates upstream: collapsing to files/2 tasks would
     # also run the scan+join+encode on that few cores. Halve the file
@@ -404,9 +413,14 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
     )
 
     if cand_files:
+        # the source key range also pushes into the probe scan: file
+        # pruning is manifest-level, but [lo, hi] reaches the parquet
+        # row-group stats too (a streaming batch with a narrow/monotone
+        # key range skips most row groups of a wide candidate file)
         probe = (
             spark.read.schema(TOKEN_SCHEMA)
             .parquet(*cand_files)
+            .where((F.col("doc_id") >= prof.lo) & (F.col("doc_id") <= prof.hi))
             .select("doc_id", _probe_file_path().alias("file_path"))
         )
         src_keys = src.select("doc_id", "_op")
@@ -545,22 +559,7 @@ def _merge(spark, table, src, parent, duplicate_policy, job_id,
             is_bcast = unit_bytes.get(part, 0) < broadcast_cap
             if is_bcast:
                 src_side = F.broadcast(src_side)
-            joined = target_p.alias("t").join(
-                src_side, F.col("t.doc_id") == F.col("s_doc_id"), "left"
-            )
-            rewritten = (
-                joined.filter((F.col("s_op").isNull()) | (F.col("s_op") != "delete"))
-                .select(
-                    F.col("t.doc_id").alias("doc_id"),
-                    F.coalesce(
-                        F.when(F.col("s_op") == "upsert", F.col("s_tokens")), F.col("t.tokens")
-                    ).alias("tokens"),
-                    F.coalesce(
-                        F.when(F.col("s_op") == "upsert", F.col("s_n_tok")), F.col("t.n_tok")
-                    ).alias("n_tok"),
-                    F.col("t.source").alias("source"),
-                )
-            )
+            rewritten = _apply_merge(target_p, src_side)
             out_dir = out_root / part
             n_out = max(1, len(files_p) // 2)  # merged output ≈ input volume
             if is_bcast:
